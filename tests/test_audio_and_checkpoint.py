@@ -1,0 +1,174 @@
+"""Audio invariants (SNR pandas UDF), fixture determinism, checkpoint resume."""
+
+import numpy as np
+import pytest
+
+from sparkcheck import ExpectationSuite, validate
+from sparkcheck.checkpoint import Checkpoint
+from sparkcheck.io import expected_counts, generate_audio_clips
+from sparkcheck.metrics.audio import decode_pcm, encode_wav_pcm16, snr_db
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return generate_audio_clips(spark, N, num_partitions=8).cache()
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    return generate_audio_clips(spark, N, clean=True, num_partitions=8).cache()
+
+
+class TestCodec:
+    def test_wav_roundtrip_lossless(self):
+        samples = (np.sin(np.arange(1600) / 10.0) * 20000).astype(np.int16)
+        decoded = decode_pcm(encode_wav_pcm16(samples, 16000), "wav")
+        assert np.allclose(decoded * 32768.0, samples)
+        assert snr_db(decoded, decoded) == float("inf")
+
+    def test_snr_detects_corruption(self):
+        t = np.arange(3200) / 16000.0
+        ref = np.sin(2 * np.pi * 220 * t)
+        noisy = ref + np.random.RandomState(0).normal(0, 0.2, len(ref))
+        assert snr_db(ref, noisy) < 30
+        close = ref + 1e-4 * np.sin(2 * np.pi * 50 * t)
+        assert snr_db(ref, close) > 30
+
+    def test_unsupported_codec_strict_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_pcm(b"\x00" * 64, "flac", strict_codecs=True)
+
+    def test_unsupported_codec_lenient_decodes_raw(self):
+        raw = np.array([1, 2, 3], dtype="<i2").tobytes()
+        out = decode_pcm(raw, "opus", strict_codecs=False)
+        assert len(out) == 3
+
+
+class TestFixture:
+    def test_deterministic(self, spark):
+        a = generate_audio_clips(spark, 500, with_bytes=True).collect()
+        b = generate_audio_clips(spark, 500, with_bytes=True).collect()
+        assert a == b
+
+    def test_schema(self, clips):
+        assert [f.name for f in clips.schema.fields] == [
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+    def test_violation_counts_match_closed_form(self, clips):
+        exp = expected_counts(N)
+        suite = (ExpectationSuite("audit")
+                 .add("expect_column_values_to_not_be_null", column="clip_id")
+                 .add("expect_column_values_to_be_between",
+                      column="sr_hz", min_value=8000, max_value=48000)
+                 .add("expect_column_values_to_be_in_set",
+                      column="codec", value_set=["wav", "flac", "mp3", "opus"])
+                 .add("expect_column_values_to_not_be_null", column="transcript"))
+        res = validate(clips, suite)
+        by_type = {}
+        for r in res.results:
+            key = (r.expectation_config.expectation_type,
+                   r.expectation_config.kwargs.get("column"))
+            by_type[key] = r.result["unexpected_count"]
+        assert by_type[("expect_column_values_to_not_be_null", "clip_id")] == exp["null_clip_id"]
+        assert by_type[("expect_column_values_to_be_between", "sr_hz")] == exp["bad_sr"]
+        assert by_type[("expect_column_values_to_be_in_set", "codec")] == exp["bad_codec"]
+        assert by_type[("expect_column_values_to_not_be_null", "transcript")] == exp["null_transcript"]
+
+    def test_uniqueness_violations(self, clips):
+        exp = expected_counts(N)
+        suite = ExpectationSuite("u").add(
+            "expect_column_values_to_be_unique", column="clip_id")
+        r = validate(clips, suite).results[0]
+        assert not r.success
+        assert r.result["unexpected_count"] == exp["dup_rows_marked"]
+
+    def test_reference_is_clean(self, ref):
+        suite = (ExpectationSuite("clean")
+                 .add("expect_column_values_to_not_be_null", column="clip_id")
+                 .add("expect_column_values_to_be_unique", column="clip_id")
+                 .add("expect_column_values_to_be_in_set",
+                      column="codec", value_set=["wav", "flac", "mp3", "opus"]))
+        assert validate(ref, suite).success
+
+
+class TestAudioInvariants:
+    def test_snr_and_transcript_vs_reference(self, spark):
+        n = 5_000
+        dirty = generate_audio_clips(spark, n, num_partitions=4)
+        clean = generate_audio_clips(spark, n, clean=True, num_partitions=4)
+        exp = expected_counts(n)
+        suite = ExpectationSuite("inv").add(
+            "expect_audio_snr_vs_reference_to_be_above",
+            reference_table="ref", min_snr_db=30.0)
+        r = validate(dirty, suite, tables={"ref": clean}).results[0]
+        assert not r.success
+        # corrupted bytes + rows whose clip_id has no reference (null/bad/orphan)
+        i = np.arange(n)
+        id_missing = ((i % 2000 == 13) | (i % 5000 == 21) | (i % 10000 == 41))
+        bytes_null = i % 5000 == 33
+        corrupt = (i % 1000 == 5) & ~bytes_null
+        expected_unexpected = int((~bytes_null & (corrupt | id_missing)).sum())
+        assert r.result["unexpected_count"] == expected_unexpected
+        assert r.result["details"]["mean_snr_db"] is None or r.result["details"]["mean_snr_db"] > 0
+
+    def test_transcript_pair_equality_via_join(self, spark):
+        n = 5_000
+        dirty = generate_audio_clips(spark, n, with_bytes=False, num_partitions=4)
+        clean = generate_audio_clips(spark, n, clean=True, with_bytes=False, num_partitions=4)
+        joined = dirty.alias("d").join(
+            clean.selectExpr("clip_id", "transcript as ref_transcript").alias("r"),
+            on="clip_id", how="inner")
+        suite = ExpectationSuite("tr").add(
+            "expect_column_pair_values_to_be_equal",
+            column_A="transcript", column_B="ref_transcript",
+            ignore_row_if="either_value_is_missing")
+        r = validate(joined, suite).results[0]
+        exp = expected_counts(n)
+        assert r.result["unexpected_count"] == exp["diff_transcript"]
+
+
+class TestCheckpoint:
+    def _suite(self):
+        return (ExpectationSuite("cp")
+                .add("expect_column_values_to_not_be_null", column="clip_id")
+                .add("expect_column_values_to_be_between",
+                     column="sr_hz", min_value=8000, max_value=48000))
+
+    def test_kill_and_resume_no_dup_verdicts(self, spark, clips, tmp_path):
+        store = str(tmp_path / "store")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=6)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            cp.run(clips, fail_after_groups=3)
+        m = cp._load_manifest()
+        assert len(m["committed_groups"]) == 3
+        # resume: only the remaining 3 groups run
+        out = cp.run(clips)
+        assert out["groups_validated_this_run"] == 3
+        assert out["groups_committed"] == 6
+        verdicts = cp.verdicts(spark)
+        assert verdicts.count() == 6 * 2  # no dups, no missing
+        assert verdicts.select("group_id").distinct().count() == 6
+
+    def test_rollup_matches_direct_validation(self, spark, clips, tmp_path):
+        store = str(tmp_path / "store2")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=4)
+        cp.run(clips)
+        roll = {(r["expectation_type"], r["domain"]): r
+                for r in cp.rollup(spark).collect()}
+        direct = validate(clips, self._suite())
+        for evr in direct.results:
+            key = (evr.expectation_config.expectation_type,
+                   evr.expectation_config.kwargs["column"])
+            assert roll[key]["unexpected_count"] == evr.result["unexpected_count"]
+            assert roll[key]["element_count"] == evr.result["element_count"]
+            assert roll[key]["success"] == evr.success
+
+    def test_idempotent_rerun(self, spark, clips, tmp_path):
+        store = str(tmp_path / "store3")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=3)
+        cp.run(clips)
+        out2 = cp.run(clips)  # everything committed — nothing re-validated
+        assert out2["groups_validated_this_run"] == 0
+        assert cp.verdicts(spark).count() == 3 * 2
