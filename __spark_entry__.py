@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship fused-validation suite on sf0.001.
+`queries()` exposes one entry per implemented operator from SURVEY.md §2
+(validation engine operators + training-data-pipeline ops); `oracle_sql()`
+gives the DuckDB-equivalent ANSI SQL for each (same column names, same
+rounding). Entries without an oracle are genuinely non-SQL-expressible
+(audio-binary invariants) and get the driver's rows-only check.
+
+Conventions for oracle parity:
+- every count is BIGINT, every float is rounded explicitly (both sides),
+- top-k queries rank on ROUNDED scores with a deterministic id tie-break,
+- no timestamps in outputs (cast to DATE strings where needed).
 """
 
 from __future__ import annotations
@@ -12,27 +18,620 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(v: float, nd: int) -> float:
+    """Round like DuckDB's round(DOUBLE, n): scale, round half away from zero.
+    Python's built-in round() rounds the exact binary value (half-even at
+    boundaries), which disagrees with the oracle exactly at .5 ties."""
+    import math
+    scaled = float(v) * (10 ** nd)
+    return math.copysign(math.floor(abs(scaled) + 0.5), scaled) / (10 ** nd)
+
+
+def _counts_df(spark: SparkSession, evr) -> DataFrame:
+    """EVR -> one-row DataFrame (element_count, unexpected_count, success)."""
+    r = evr.result
+    return spark.createDataFrame(
+        [(int(r["element_count"]), int(r["unexpected_count"]), bool(evr.success))],
+        "element_count bigint, unexpected_count bigint, success boolean")
+
+
+def _one(spark, df, etype, tables=None, **kw):
+    from sparkcheck import ExpectationSuite, validate
+    suite = ExpectationSuite("q").add(etype, **kw)
+    return validate(df, suite, tables=tables or {}, result_format="BOOLEAN_ONLY"
+                    if kw.pop("_bool", False) else "BASIC").results[0]
+
+
+# --------------------------------------------------------------- validation
+
+
+def q_ge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass column profile (SURVEY §2.5: table.row_count,
+    column.mean/min/max/standard_deviation/sum) — the north-star's 'single
+    fused DataFrame aggregation pass'."""
+    from sparkcheck.profiler import build_reference_profile
+    li = _t(spark, sf_dir, "lineitem")
+    prof = build_reference_profile(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    rows = []
+    for c, p in prof["columns"].items():
+        rows += [
+            (c, "null_count", float(p["null_count"])),
+            (c, "min", _r(p["min"], 4)),
+            (c, "max", _r(p["max"], 4)),
+            (c, "mean", _r(p["mean"], 4)),
+            (c, "stddev", _r(p["stddev"], 4)),
+        ]
+    rows.append(("_table", "row_count", float(prof["row_count"])))
+    return spark.createDataFrame(rows, "column_name string, metric string, value double")
+
+
+_SQL_PROFILE = """
+WITH m AS (
+  SELECT count(*) AS rc,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+         round(min(l_quantity),4) AS q_min, round(max(l_quantity),4) AS q_max,
+         round(avg(l_quantity),4) AS q_mean, round(stddev_samp(l_quantity),4) AS q_std,
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nulls,
+         round(min(l_extendedprice),4) AS e_min, round(max(l_extendedprice),4) AS e_max,
+         round(avg(l_extendedprice),4) AS e_mean, round(stddev_samp(l_extendedprice),4) AS e_std,
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+         round(min(l_discount),4) AS d_min, round(max(l_discount),4) AS d_max,
+         round(avg(l_discount),4) AS d_mean, round(stddev_samp(l_discount),4) AS d_std
+  FROM lineitem)
+SELECT 'l_quantity' AS column_name, 'null_count' AS metric, CAST(q_nulls AS DOUBLE) AS value FROM m
+UNION ALL SELECT 'l_quantity','min', q_min FROM m
+UNION ALL SELECT 'l_quantity','max', q_max FROM m
+UNION ALL SELECT 'l_quantity','mean', q_mean FROM m
+UNION ALL SELECT 'l_quantity','stddev', q_std FROM m
+UNION ALL SELECT 'l_extendedprice','null_count', CAST(e_nulls AS DOUBLE) FROM m
+UNION ALL SELECT 'l_extendedprice','min', e_min FROM m
+UNION ALL SELECT 'l_extendedprice','max', e_max FROM m
+UNION ALL SELECT 'l_extendedprice','mean', e_mean FROM m
+UNION ALL SELECT 'l_extendedprice','stddev', e_std FROM m
+UNION ALL SELECT 'l_discount','null_count', CAST(d_nulls AS DOUBLE) FROM m
+UNION ALL SELECT 'l_discount','min', d_min FROM m
+UNION ALL SELECT 'l_discount','max', d_max FROM m
+UNION ALL SELECT 'l_discount','mean', d_mean FROM m
+UNION ALL SELECT 'l_discount','stddev', d_std FROM m
+UNION ALL SELECT '_table','row_count', CAST(rc AS DOUBLE) FROM m
+"""
+
+
+def q_ge_not_null(spark, sf_dir):
+    """expect_column_values_to_not_be_null on a derived nullable column."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "st", F.expr("nullif(o_orderstatus, 'P')"))
+    return _counts_df(spark, _one(spark, o, "expect_column_values_to_not_be_null",
+                                  column="st", mostly=0.5))
+
+
+_SQL_NOT_NULL = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN nullif(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(*) - sum(CASE WHEN nullif(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) AS success
+FROM orders
+"""
+
+
+def q_ge_between(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return _counts_df(spark, _one(
+        spark, li, "expect_column_values_to_be_between",
+        column="l_quantity", min_value=5, max_value=45))
+
+
+_SQL_BETWEEN = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity BETWEEN 5 AND 45)
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity BETWEEN 5 AND 45)
+                THEN 1 ELSE 0 END) = 0 AS success
+FROM lineitem
+"""
+
+
+def q_ge_in_set(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return _counts_df(spark, _one(
+        spark, o, "expect_column_values_to_be_in_set",
+        column="o_orderpriority", value_set=["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        mostly=0.5))
+
+
+_SQL_IN_SET = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN o_orderpriority IS NOT NULL
+                AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(*) FILTER (o_orderpriority IS NOT NULL)
+        - sum(CASE WHEN o_orderpriority IS NOT NULL
+                   AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                   THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) FILTER (o_orderpriority IS NOT NULL) AS success
+FROM orders
+"""
+
+
+def q_ge_regex(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return _counts_df(spark, _one(
+        spark, c, "expect_column_values_to_match_regex",
+        column="c_name", regex="^Customer#[0-9]+$"))
+
+
+_SQL_REGEX = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN c_name IS NOT NULL
+                AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       sum(CASE WHEN c_name IS NOT NULL
+                AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                THEN 1 ELSE 0 END) = 0 AS success
+FROM customer
+"""
+
+
+def q_ge_value_length(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return _counts_df(spark, _one(
+        spark, p, "expect_column_value_lengths_to_be_between",
+        column="p_name", min_value=5, max_value=30, mostly=0.5))
+
+
+_SQL_VALUE_LENGTH = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN p_name IS NOT NULL AND NOT (length(p_name) BETWEEN 5 AND 30)
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(*) FILTER (p_name IS NOT NULL)
+        - sum(CASE WHEN p_name IS NOT NULL AND NOT (length(p_name) BETWEEN 5 AND 30)
+                   THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) FILTER (p_name IS NOT NULL) AS success
+FROM part
+"""
+
+
+def q_ge_unique(spark, sf_dir):
+    """clip-id-style uniqueness: dup-marked rows + dup groups (SURVEY §2.3
+    column_values.unique — groupBy strategy, all rows of a dup value marked)."""
+    o = _t(spark, sf_dir, "orders")
+    evr = _one(spark, o, "expect_column_values_to_be_unique", column="o_orderkey")
+    li = _t(spark, sf_dir, "lineitem")
+    evr2 = _one(spark, li, "expect_compound_columns_to_be_unique",
+                column_list=["l_orderkey", "l_linenumber"])
+    return spark.createDataFrame(
+        [("orders.o_orderkey", int(evr.result["unexpected_count"]),
+          int(evr.result.get("details", {}).get("duplicate_groups", 0)), bool(evr.success)),
+         ("lineitem.compound", int(evr2.result["unexpected_count"]),
+          int(evr2.result.get("details", {}).get("duplicate_groups", 0)), bool(evr2.success))],
+        "check string, dup_rows bigint, dup_groups bigint, success boolean")
+
+
+_SQL_UNIQUE = """
+WITH a AS (
+  SELECT coalesce(sum(c),0) AS dup_rows, count(*) AS dup_groups
+  FROM (SELECT count(*) c FROM orders WHERE o_orderkey IS NOT NULL
+        GROUP BY o_orderkey HAVING count(*)>1)),
+b AS (
+  SELECT coalesce(sum(c),0) AS dup_rows, count(*) AS dup_groups
+  FROM (SELECT count(*) c FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        GROUP BY l_orderkey, l_linenumber HAVING count(*)>1))
+SELECT 'orders.o_orderkey' AS check, dup_rows, dup_groups, dup_rows = 0 AS success FROM a
+UNION ALL
+SELECT 'lineitem.compound', dup_rows, dup_groups, dup_rows = 0 FROM b
+"""
+
+
+def q_ge_distinct(spark, sf_dir):
+    """column.distinct_values.count + unique_proportion (SURVEY §2.5)."""
+    from sparkcheck import ExpectationSuite, validate
+    li = _t(spark, sf_dir, "lineitem")
+    suite = (ExpectationSuite("d")
+             .add("expect_column_unique_value_count_to_be_between",
+                  column="l_partkey", min_value=1)
+             .add("expect_column_proportion_of_unique_values_to_be_between",
+                  column="l_partkey", min_value=0, max_value=1))
+    res = validate(li, suite)
+    distinct = int(res.results[0].result["observed_value"])
+    prop = _r(float(res.results[1].result["observed_value"]), 6)
+    return spark.createDataFrame(
+        [(distinct, prop)], "distinct_count bigint, unique_proportion double")
+
+
+_SQL_DISTINCT = """
+SELECT count(DISTINCT l_partkey) AS distinct_count,
+       round(1.0*count(DISTINCT l_partkey)/count(l_partkey), 6) AS unique_proportion
+FROM lineitem
+"""
+
+
+def q_ge_value_counts(spark, sf_dir):
+    """column.value_counts (SURVEY §2.5) — plain fused groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_returnflag").isNotNull())
+            .groupBy(F.col("l_returnflag").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+_SQL_VALUE_COUNTS = """
+SELECT l_returnflag AS value, count(*) AS cnt
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+"""
+
+
+def q_ge_most_common(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    evr = _one(spark, o, "expect_column_most_common_value_to_be_in_set",
+               column="o_orderpriority",
+               value_set=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+               ties_okay=True)
+    return spark.createDataFrame(
+        [(v, bool(evr.success)) for v in evr.result["observed_value"]],
+        "mode_value string, success boolean")
+
+
+_SQL_MOST_COMMON = """
+WITH vc AS (SELECT o_orderpriority v, count(*) c FROM orders
+            WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+SELECT v AS mode_value, TRUE AS success FROM vc WHERE c = (SELECT max(c) FROM vc)
+"""
+
+
+def q_ge_quantiles(spark, sf_dir):
+    """column.quantile_values — exact interpolated percentile (SURVEY §2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    evr = _one(spark, li, "expect_column_quantile_values_to_be_between",
+               column="l_extendedprice",
+               quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
+                                "value_ranges": [[None, None]] * 3})
+    obs = evr.result["observed_value"]
+    return spark.createDataFrame(
+        [(q, _r(float(v), 4)) for q, v in zip(obs["quantiles"], obs["values"])],
+        "quantile double, value double")
+
+
+_SQL_QUANTILES = """
+SELECT 0.25 AS quantile, round(quantile_cont(l_extendedprice, 0.25), 4) AS value FROM lineitem
+UNION ALL SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
+UNION ALL SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 4) FROM lineitem
+"""
+
+
+_HIST_BINS = [0.0, 50_000.0, 100_000.0, 150_000.0, 200_000.0, 250_000.0,
+              300_000.0, 400_000.0, 600_000.0]
+
+
+def q_ge_histogram(spark, sf_dir):
+    """column.histogram — fused conditional-count buckets (drift slots)."""
+    o = _t(spark, sf_dir, "orders")
+    from sparkcheck.planner import compile_suite
+    from sparkcheck.types import ExpectationConfiguration
+    config = ExpectationConfiguration(
+        "expect_column_kl_divergence_to_be_less_than",
+        {"column": "o_totalprice",
+         "partition_object": {"bins": _HIST_BINS, "weights": [1 / 8] * 8},
+         "threshold": 100})
+    plan = compile_suite([config])
+    dp = next(iter(plan.domains.values()))
+    row = o.agg(*dp.slot_table.agg_list).first().asDict()
+    item = dp.fused_items[0]
+    rows = [(i, int(row[a])) for i, a in enumerate(item.info["bin_aliases"])]
+    rows.append((-1, int(row[item.slots["below"]])))
+    rows.append((99, int(row[item.slots["above"]])))
+    return spark.createDataFrame(rows, "bin_id int, cnt bigint")
+
+
+def _hist_sql() -> str:
+    cases = []
+    for i in range(len(_HIST_BINS) - 1):
+        lo, hi = _HIST_BINS[i], _HIST_BINS[i + 1]
+        hi_op = "<=" if i == len(_HIST_BINS) - 2 else "<"
+        cases.append(
+            f"SELECT {i} AS bin_id, count(*) FILTER (o_totalprice >= {lo} AND o_totalprice {hi_op} {hi}) AS cnt FROM orders")
+    cases.append(f"SELECT -1, count(*) FILTER (o_totalprice < {_HIST_BINS[0]}) FROM orders")
+    cases.append(f"SELECT 99, count(*) FILTER (o_totalprice > {_HIST_BINS[-1]}) FROM orders")
+    return "\nUNION ALL ".join(cases)
+
+
+def q_ge_zscore(spark, sf_dir):
+    """column_values.z_score.under_threshold — two-phase fused pass."""
+    o = _t(spark, sf_dir, "orders")
+    return _counts_df(spark, _one(
+        spark, o, "expect_column_value_z_scores_to_be_less_than",
+        column="o_totalprice", threshold=3.0, mostly=0.95))
+
+
+_SQL_ZSCORE = """
+WITH s AS (SELECT avg(o_totalprice) m, stddev_samp(o_totalprice) sd FROM orders)
+SELECT count(*) AS element_count,
+       sum(CASE WHEN o_totalprice IS NOT NULL
+                AND abs((o_totalprice - s.m)/s.sd) >= 3.0 THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(*) FILTER (o_totalprice IS NOT NULL)
+        - sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND abs((o_totalprice - s.m)/s.sd) >= 3.0 THEN 1 ELSE 0 END))
+         >= 0.95 * count(*) FILTER (o_totalprice IS NOT NULL) AS success
+FROM orders, s
+"""
+
+
+def q_ge_referential(spark, sf_dir):
+    """FK via left_anti join (SURVEY §2.6 referential integrity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    small = supplier.filter(F.col("s_suppkey") <= 50)
+    evr_ok = _one(spark, li, "expect_column_values_to_be_in_table",
+                  column="l_suppkey", other_table="supplier",
+                  other_column="s_suppkey", tables={"supplier": supplier})
+    evr_bad = _one(spark, li, "expect_column_values_to_be_in_table",
+                   column="l_suppkey", other_table="half",
+                   other_column="s_suppkey", tables={"half": small})
+    return spark.createDataFrame(
+        [("full_dim", int(evr_ok.result["unexpected_count"]), bool(evr_ok.success)),
+         ("half_dim", int(evr_bad.result["unexpected_count"]), bool(evr_bad.success))],
+        "check string, orphan_count bigint, success boolean")
+
+
+_SQL_REFERENTIAL = """
+SELECT 'full_dim' AS check,
+       (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS orphan_count,
+       (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) = 0 AS success
+UNION ALL
+SELECT 'half_dim',
+       (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_suppkey <= 50)),
+       (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_suppkey <= 50)) = 0
+"""
+
+
+def q_ge_pair_greater(spark, sf_dir):
+    """column_pair_values.a_greater_than_b over a join (ship after order)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return _counts_df(spark, _one(
+        spark, joined, "expect_column_pair_values_a_to_be_greater_than_b",
+        column_A="l_shipdate", column_B="o_orderdate", or_equal=True,
+        ignore_row_if="either_value_is_missing", mostly=0.5))
+
+
+_SQL_PAIR_GREATER = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+                AND NOT (l.l_shipdate >= o.o_orderdate) THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(*) FILTER (l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL)
+        - sum(CASE WHEN l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+                   AND NOT (l.l_shipdate >= o.o_orderdate) THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) FILTER (l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL) AS success
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_ge_increasing(spark, sf_dir):
+    """column_values.increasing with group_by (per-user event values)."""
+    e = _t(spark, sf_dir, "events")
+    return _counts_df(spark, _one(
+        spark, e, "expect_column_values_to_be_increasing",
+        column="value", group_by="user_id", order_by=["ts", "event_id"],
+        mostly=0.1))
+
+
+_SQL_INCREASING = """
+WITH w AS (
+  SELECT value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+  FROM events)
+SELECT (SELECT count(*) FROM events) AS element_count,
+       sum(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       ((SELECT count(*) FROM events WHERE value IS NOT NULL)
+        - sum(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev
+                   THEN 1 ELSE 0 END))
+         >= 0.1 * (SELECT count(*) FROM events WHERE value IS NOT NULL) AS success
+FROM w
+"""
+
+
+def q_ge_json(spark, sf_dir):
+    """column_values.json_parseable — try_parse_json, no Python UDF."""
+    e = _t(spark, sf_dir, "events")
+    return _counts_df(spark, _one(
+        spark, e, "expect_column_values_to_be_json_parseable", column="props"))
+
+
+_SQL_JSON = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                THEN 1 ELSE 0 END) = 0 AS success
+FROM events
+"""
+
+
+def q_ge_rowcount(spark, sf_dir):
+    """table.row_count (+ row_condition domain filter)."""
+    from sparkcheck import ExpectationSuite, validate
+    li = _t(spark, sf_dir, "lineitem")
+    suite = (ExpectationSuite("rc")
+             .add("expect_table_row_count_to_be_between", min_value=1)
+             .add("expect_table_row_count_to_be_between", min_value=1,
+                  row_condition="l_returnflag = 'R'"))
+    res = validate(li, suite)
+    return spark.createDataFrame(
+        [("all", int(res.results[0].result["observed_value"])),
+         ("flag_R", int(res.results[1].result["observed_value"]))],
+        "scope string, row_count bigint")
+
+
+_SQL_ROWCOUNT = """
+SELECT 'all' AS scope, count(*) AS row_count FROM lineitem
+UNION ALL SELECT 'flag_R', count(*) FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+# --------------------------------------------------- drift (KL / KS / PSI)
+
+_DRIFT_BINS = [0.0, 100_000.0, 200_000.0, 300_000.0, 450_000.0, 700_000.0]
+_DRIFT_WEIGHTS = [0.35, 0.30, 0.20, 0.10, 0.05]
+
+
+def q_ge_drift(spark, sf_dir):
+    """KL/KS/PSI drift scores vs a fixed expected partition (SURVEY §2.7),
+    computed from fused histogram buckets."""
+    from sparkcheck import ExpectationSuite, validate
+    o = _t(spark, sf_dir, "orders")
+    po = {"bins": _DRIFT_BINS, "weights": _DRIFT_WEIGHTS}
+    suite = (ExpectationSuite("drift")
+             .add("expect_column_kl_divergence_to_be_less_than",
+                  column="o_totalprice", partition_object=po, threshold=1.0,
+                  tail_weight_holdout=0.01)
+             .add("expect_column_ks_statistic_to_be_less_than",
+                  column="o_totalprice", partition_object=po, threshold=0.5)
+             .add("expect_column_psi_to_be_less_than",
+                  column="o_totalprice", partition_object=po, threshold=1.0))
+    res = validate(o, suite)
+    rows = [(r.expectation_config.expectation_type.split("_")[2],
+             _r(float(r.result["observed_value"]), 6), bool(r.success))
+            for r in res.results]
+    return spark.createDataFrame(rows, "score string, value double, success boolean")
+
+
+def _drift_sql() -> str:
+    b, w = _DRIFT_BINS, _DRIFT_WEIGHTS
+    n = len(w)
+    bucket_cases = []
+    for i in range(n):
+        hi_op = "<=" if i == n - 1 else "<"
+        bucket_cases.append(
+            f"count(*) FILTER (o_totalprice >= {b[i]} AND o_totalprice {hi_op} {b[i+1]}) AS c{i}")
+    counts = ", ".join(bucket_cases)
+    below = f"count(*) FILTER (o_totalprice < {b[0]})"
+    above = f"count(*) FILTER (o_totalprice > {b[-1]})"
+    nn = "count(o_totalprice)"
+    # KL with tail_weight_holdout=0.01 (expected scaled by 0.99, tails 0.005)
+    kl_terms, ks_terms, psi_terms = [], [], []
+    for i in range(n):
+        po = f"(1.0*c{i}/nn)"
+        pe = f"({w[i]} * 0.99)"
+        kl_terms.append(f"CASE WHEN c{i}>0 THEN {po}*ln({po}/{pe}) ELSE 0 END")
+        pe_raw = f"{w[i]}"
+        po_c = f"greatest(1.0*c{i}/tot, 0.000001)"
+        psi_terms.append(f"(({po_c})-({pe_raw}))*ln(({po_c})/({pe_raw}))")
+        cum_o = "+".join(f"c{j}" for j in range(i + 1))
+        cum_e = sum(w[: i + 1])
+        ks_terms.append(f"abs(1.0*({cum_o})/tot - {cum_e})")
+    kl_tail = ("CASE WHEN below>0 THEN (1.0*below/nn)*ln((1.0*below/nn)/0.005) ELSE 0 END + "
+               "CASE WHEN above>0 THEN (1.0*above/nn)*ln((1.0*above/nn)/0.005) ELSE 0 END")
+    return f"""
+WITH h AS (SELECT {counts}, {below} AS below, {above} AS above, {nn} AS nn FROM orders),
+     t AS (SELECT *, (c0+c1+c2+c3+c4) AS tot FROM h),
+     n AS (SELECT *,
+        greatest(1.0*c0/tot,0.000001)+greatest(1.0*c1/tot,0.000001)+greatest(1.0*c2/tot,0.000001)
+        +greatest(1.0*c3/tot,0.000001)+greatest(1.0*c4/tot,0.000001) AS s FROM t)
+SELECT 'kl' AS score, round({' + '.join(kl_terms)} + {kl_tail}, 6) AS value,
+       ({' + '.join(kl_terms)} + {kl_tail}) < 1.0 AS success FROM n
+UNION ALL
+SELECT 'ks', round(greatest({', '.join(ks_terms)}), 6),
+       greatest({', '.join(ks_terms)}) < 0.5 FROM n
+UNION ALL
+SELECT 'psi', round({' + '.join(psi_terms)}, 6),
+       ({' + '.join(psi_terms)}) < 1.0 FROM n
+"""
+
+
+# ----------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full fused-validation suite over sf0.001 lineitem+orders;
+    returns one row per expectation (the EVR summary)."""
+    from sparkcheck import ExpectationSuite, validate
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    suite = (ExpectationSuite("flagship")
+             .add("expect_column_values_to_not_be_null", column="l_orderkey")
+             .add("expect_column_values_to_be_between",
+                  column="l_quantity", min_value=1, max_value=50)
+             .add("expect_column_values_to_be_in_set",
+                  column="l_returnflag", value_set=["A", "N", "R"])
+             .add("expect_column_mean_to_be_between",
+                  column="l_discount", min_value=0.0, max_value=0.2)
+             .add("expect_column_quantile_values_to_be_between",
+                  column="l_extendedprice",
+                  quantile_ranges={"quantiles": [0.5], "value_ranges": [[0, 10_000_000]]})
+             .add("expect_column_values_to_be_unique", column="l_orderkey")
+             .add("expect_column_values_to_be_in_table",
+                  column="l_orderkey", other_table="orders", other_column="o_orderkey")
+             .add("expect_table_row_count_to_be_between", min_value=1))
+    res = validate(li, suite, tables={"orders": orders})
+    rows = [(r.expectation_config.expectation_type,
+             r.expectation_config.kwargs.get("column", ""),
+             bool(r.success),
+             int(r.result.get("element_count") or 0),
+             int(r.result.get("unexpected_count") or 0))
+            for r in res.results]
+    return spark.createDataFrame(
+        rows, "expectation_type string, column string, success boolean, "
+              "element_count bigint, unexpected_count bigint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ge_profile": q_ge_profile,
+        "ge_not_null": q_ge_not_null,
+        "ge_between": q_ge_between,
+        "ge_in_set": q_ge_in_set,
+        "ge_regex": q_ge_regex,
+        "ge_value_length": q_ge_value_length,
+        "ge_unique": q_ge_unique,
+        "ge_distinct": q_ge_distinct,
+        "ge_value_counts": q_ge_value_counts,
+        "ge_most_common": q_ge_most_common,
+        "ge_quantiles": q_ge_quantiles,
+        "ge_histogram": q_ge_histogram,
+        "ge_zscore": q_ge_zscore,
+        "ge_referential": q_ge_referential,
+        "ge_pair_greater": q_ge_pair_greater,
+        "ge_increasing": q_ge_increasing,
+        "ge_json": q_ge_json,
+        "ge_rowcount": q_ge_rowcount,
+        "ge_drift": q_ge_drift,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ge_profile": _SQL_PROFILE,
+        "ge_not_null": _SQL_NOT_NULL,
+        "ge_between": _SQL_BETWEEN,
+        "ge_in_set": _SQL_IN_SET,
+        "ge_regex": _SQL_REGEX,
+        "ge_value_length": _SQL_VALUE_LENGTH,
+        "ge_unique": _SQL_UNIQUE,
+        "ge_distinct": _SQL_DISTINCT,
+        "ge_value_counts": _SQL_VALUE_COUNTS,
+        "ge_most_common": _SQL_MOST_COMMON,
+        "ge_quantiles": _SQL_QUANTILES,
+        "ge_histogram": _hist_sql(),
+        "ge_zscore": _SQL_ZSCORE,
+        "ge_referential": _SQL_REFERENTIAL,
+        "ge_pair_greater": _SQL_PAIR_GREATER,
+        "ge_increasing": _SQL_INCREASING,
+        "ge_json": _SQL_JSON,
+        "ge_rowcount": _SQL_ROWCOUNT,
+        "ge_drift": _drift_sql(),
+    }

@@ -162,19 +162,28 @@ def json_parseable(kwargs: dict) -> Column:
     return F.try_parse_json(_c(kwargs)).isNotNull()
 
 
+def _ordered_window(kwargs: dict) -> Window:
+    ob = kwargs.get("order_by")
+    if ob is None:
+        order_cols = [F.monotonically_increasing_id()]
+    elif isinstance(ob, (list, tuple)):
+        order_cols = [F.col(c) for c in ob]
+    else:
+        order_cols = [F.col(ob)]
+    if kwargs.get("group_by"):
+        return Window.partitionBy(kwargs["group_by"]).orderBy(*order_cols)
+    return Window.orderBy(*order_cols)
+
+
 def increasing(kwargs: dict) -> Column:
     """Reference: window lag over the existing row order
     (column_values_increasing.py:80-192). Ours: optional `group_by` keeps the
     window partitioned (scalable); without it we document the single-partition
-    hazard and order by monotonically_increasing_id (batch order)."""
+    hazard and order by monotonically_increasing_id (batch order). `order_by`
+    may be a column name or a list (tie-break keys)."""
     col = _c(kwargs)
     strictly = kwargs.get("strictly", False)
-    order_col = F.col(kwargs["order_by"]) if kwargs.get("order_by") else F.monotonically_increasing_id()
-    if kwargs.get("group_by"):
-        w = Window.partitionBy(kwargs["group_by"]).orderBy(order_col)
-    else:
-        w = Window.orderBy(order_col)
-    prev = F.lag(col).over(w)
+    prev = F.lag(col).over(_ordered_window(kwargs))
     cmp = (col > prev) if strictly else (col >= prev)
     return prev.isNull() | cmp
 
@@ -182,12 +191,7 @@ def increasing(kwargs: dict) -> Column:
 def decreasing(kwargs: dict) -> Column:
     col = _c(kwargs)
     strictly = kwargs.get("strictly", False)
-    order_col = F.col(kwargs["order_by"]) if kwargs.get("order_by") else F.monotonically_increasing_id()
-    if kwargs.get("group_by"):
-        w = Window.partitionBy(kwargs["group_by"]).orderBy(order_col)
-    else:
-        w = Window.orderBy(order_col)
-    prev = F.lag(col).over(w)
+    prev = F.lag(col).over(_ordered_window(kwargs))
     cmp = (col < prev) if strictly else (col <= prev)
     return prev.isNull() | cmp
 
