@@ -552,6 +552,260 @@ SELECT 'psi', round({' + '.join(psi_terms)}, 6),
 """
 
 
+# ----------------------------------------- training-data pipeline operators
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact + normalized-fingerprint dedup (hash groupBy)."""
+    from sparkcheck.pipeline.dedup import exact_duplicates
+    d = _t(spark, sf_dir, "documents")
+    out = []
+    for variant, norm in (("raw", False), ("normalized", True)):
+        g = exact_duplicates(d, "doc_id", "text", normalize=norm)
+        row = g.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("dup_rows"),
+                    F.count(F.lit(1)).alias("dup_groups")).first()
+        out.append((variant, int(row["dup_rows"]), int(row["dup_groups"])))
+    return spark.createDataFrame(
+        out, "variant string, dup_rows bigint, dup_groups bigint")
+
+
+_SQL_DEDUP_EXACT = r"""
+WITH raw AS (SELECT md5(text) fp, count(*) cnt FROM documents GROUP BY 1 HAVING count(*)>1),
+     nrm AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) fp, count(*) cnt
+             FROM documents GROUP BY 1 HAVING count(*)>1)
+SELECT 'raw' AS variant, CAST(coalesce(sum(cnt),0) AS BIGINT) AS dup_rows,
+       CAST(count(*) AS BIGINT) AS dup_groups FROM raw
+UNION ALL
+SELECT 'normalized', CAST(coalesce(sum(cnt),0) AS BIGINT), CAST(count(*) AS BIGINT) FROM nrm
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Word-set Jaccard histogram over all pairs sharing a token."""
+    from sparkcheck.pipeline.dedup import jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.0)
+    return (pairs
+            .withColumn("bucket", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+_SQL_DEDUP_JACCARD = """
+WITH s AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS sh FROM documents),
+sz AS (SELECT doc_id, count(*) sz FROM s GROUP BY 1),
+p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+j AS (SELECT 1.0*shared/(sa.sz+sb.sz-shared) jac
+      FROM p JOIN sz sa ON sa.doc_id=p.ia JOIN sz sb ON sb.doc_id=p.ib)
+SELECT CAST(least(floor(jac*10),9) AS INT) AS bucket, count(*) AS cnt FROM j GROUP BY 1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands of 2) candidate stats on word 2-gram shingles."""
+    from sparkcheck.pipeline.dedup import lsh_candidate_stats
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_stats(d, "doc_id", "text", num_hashes=8, band_size=2,
+                               shingle_n=2)
+
+
+_SQL_DEDUP_MINHASH = """
+WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+       unnest(list_transform(generate_series(1, greatest(len(ws)-1,0)),
+                             i -> array_to_string(ws[i:i+1], ' '))) AS sh FROM w),
+sig AS (SELECT doc_id,
+        min(md5('0|'||sh)) m0, min(md5('1|'||sh)) m1, min(md5('2|'||sh)) m2,
+        min(md5('3|'||sh)) m3, min(md5('4|'||sh)) m4, min(md5('5|'||sh)) m5,
+        min(md5('6|'||sh)) m6, min(md5('7|'||sh)) m7 FROM sh GROUP BY 1),
+bk AS (SELECT 0 band_id, md5(m0||m1) bh FROM sig
+       UNION ALL SELECT 1, md5(m2||m3) FROM sig
+       UNION ALL SELECT 2, md5(m4||m5) FROM sig
+       UNION ALL SELECT 3, md5(m6||m7) FROM sig),
+pb AS (SELECT band_id, bh, count(*) n FROM bk GROUP BY 1,2)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(coalesce(sum(CASE WHEN n>1 THEN 1 ELSE 0 END),0) AS BIGINT) AS multi_buckets,
+       CAST(coalesce(sum(n*(n-1)/2),0) AS BIGINT) AS candidate_pairs
+FROM pb
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash distribution stats."""
+    from sparkcheck.pipeline.dedup import simhash16
+    d = _t(spark, sf_dir, "documents")
+    sh = simhash16(d, "doc_id", "text")
+    g = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(F.sum("c").cast("bigint").alias("n_docs"),
+                 F.count(F.lit(1)).alias("distinct_hashes"),
+                 F.max("c").alias("max_group"))
+
+
+def _simhash_sql() -> str:
+    highs = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h,{j+1},1) IN {highs} THEN 1 ELSE -1 END) v{j}"
+        for j in range(16))
+    bits = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
+h AS (SELECT doc_id, md5(t) h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
+s AS (SELECT doc_id, {bits} AS sh FROM v),
+g AS (SELECT sh, count(*) c FROM s GROUP BY 1)
+SELECT CAST(sum(c) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) distinct_hashes,
+       CAST(max(c) AS BIGINT) max_group FROM g
+"""
+
+
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    from sparkcheck.pipeline.similarity import cosine_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") == 0), k=10, round_digits=6)
+
+
+_SQL_SIM_TOPK = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+      round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+            / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   * list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])), 6) AS sim
+      FROM embeddings e, q)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_sim_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: probe only the query's label cell, top-5."""
+    from sparkcheck.pipeline.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") == 0), k=5, round_digits=6)
+
+
+_SQL_SIM_IVF = """
+WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+      round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+            / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   * list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])), 6) AS sim
+      FROM embeddings e, q WHERE e.label = q.label)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 5
+"""
+
+
+_STOP_EN = "('the','a','of','and','to','in','is')"
+
+
+def q_text_tokens(spark, sf_dir):
+    """Token counting per language (integer outputs — exact parity)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(toks).cast("bigint").alias("sum_tokens"),
+                 F.max(toks).cast("bigint").alias("max_tokens")))
+
+
+_SQL_TEXT_TOKENS = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+       CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-feature sums per lang (stopword hits, non-alpha chars)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(t, " ")
+    en = ["the", "a", "of", "and", "to", "in", "is"]
+    hits = F.size(F.filter(toks, lambda x: x.isin(en)))
+    nonalpha = F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", ""))
+    return (d.groupBy("lang")
+            .agg(F.sum(F.size(toks)).cast("bigint").alias("sum_tokens"),
+                 F.sum(hits).cast("bigint").alias("sum_stopword_hits"),
+                 F.sum(nonalpha).cast("bigint").alias("sum_nonalpha"),
+                 F.sum(F.length(t)).cast("bigint").alias("sum_chars")))
+
+
+_SQL_TEXT_QUALITY = f"""
+SELECT lang,
+       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(len(list_filter(string_split(text,' '), x -> x IN {_STOP_EN}))) AS BIGINT) AS sum_stopword_hits,
+       CAST(sum(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))) AS BIGINT) AS sum_nonalpha,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-heuristic language ID: (actual lang, predicted, count)."""
+    from sparkcheck.pipeline.text import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return (lang_id(d).groupBy("lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+_SQL_TEXT_LANGID = """
+WITH s AS (SELECT lang,
+  1.0*len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is')))/len(string_split(text,' ')) he,
+  1.0*len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y','que','en')))/len(string_split(text,' ')) hs,
+  1.0*len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','zu','ist')))/len(string_split(text,' ')) hd,
+  1.0*len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','que','est')))/len(string_split(text,' ')) hf
+  FROM documents)
+SELECT lang,
+       CASE WHEN he >= hs AND he >= hd AND he >= hf THEN 'en'
+            WHEN hs >= hd AND hs >= hf THEN 'es'
+            WHEN hd >= hf THEN 'de' ELSE 'fr' END AS predicted_lang,
+       count(*) AS cnt
+FROM s GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------- audio (non-SQL, rows-only check)
+
+
+def q_audio_snr(spark, sf_dir):
+    """Per-row audio invariant: decoded-PCM SNR>=30dB vs reference clips
+    (Arrow pandas UDF over an equi-join). Binary decode is not
+    SQL-expressible -> rows-only check. Input synthesized deterministically
+    (seed=42) — no external data."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    dirty = generate_audio_clips(spark, 3000, num_partitions=8)
+    clean = generate_audio_clips(spark, 3000, clean=True, num_partitions=8)
+    suite = ExpectationSuite("snr").add(
+        "expect_audio_snr_vs_reference_to_be_above",
+        reference_table="ref", min_snr_db=30.0)
+    r = validate(dirty, suite, tables={"ref": clean}).results[0]
+    return spark.createDataFrame(
+        [(int(r.result["element_count"]), int(r.result["unexpected_count"]),
+          bool(r.success))],
+        "element_count bigint, unexpected_count bigint, success boolean")
+
+
+def q_audio_suite_partitions(spark, sf_dir):
+    """Per-partition verdict rows for the audio contract suite (rollup pass)."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    clips = generate_audio_clips(spark, 10_000, with_bytes=False, num_partitions=8)
+    suite = (ExpectationSuite("audio")
+             .add("expect_column_values_to_not_be_null", column="clip_id")
+             .add("expect_column_values_to_be_between",
+                  column="sr_hz", min_value=8000, max_value=48000)
+             .add("expect_column_values_to_be_in_set",
+                  column="codec", value_set=["wav", "flac", "mp3", "opus"]))
+    res = validate(clips, suite, per_partition=True)
+    rows = [(v["partition_id"], v["expectation_type"], v["domain"],
+             bool(v["success"]), int(v["unexpected_count"] or 0))
+            for v in res.meta["partition_verdicts"]]
+    return spark.createDataFrame(
+        rows, "partition_id int, expectation_type string, domain string, "
+              "success boolean, unexpected_count bigint")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -610,6 +864,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ge_json": q_ge_json,
         "ge_rowcount": q_ge_rowcount,
         "ge_drift": q_ge_drift,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_bruteforce": q_sim_topk,
+        "sim_ivf_label": q_sim_ivf,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "audio_snr_invariant": q_audio_snr,
+        "audio_suite_partitions": q_audio_suite_partitions,
     }
 
 
@@ -634,4 +899,14 @@ def oracle_sql() -> dict[str, str]:
         "ge_json": _SQL_JSON,
         "ge_rowcount": _SQL_ROWCOUNT,
         "ge_drift": _drift_sql(),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_jaccard": _SQL_DEDUP_JACCARD,
+        "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "dedup_simhash": _simhash_sql(),
+        "sim_topk_bruteforce": _SQL_SIM_TOPK,
+        "sim_ivf_label": _SQL_SIM_IVF,
+        "text_tokens": _SQL_TEXT_TOKENS,
+        "text_quality": _SQL_TEXT_QUALITY,
+        "text_langid": _SQL_TEXT_LANGID,
+        # audio_* : binary decode — non-SQL-expressible, rows-only check
     }
