@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""bench.py — headline benchmark for the sparkcheck validation engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Two parts:
+1. Validation-throughput headline (the BASELINE.json metric, clips/sec):
+   the north-star audio contract suite — fused single-pass profile +
+   uniqueness + value-set + regex + length + drift — over a deterministic
+   synthetic audio_clips parquet table (seed=42, FIXTURES.md; generation is
+   setup, not timed), plus the Arrow-pandas-UDF SNR invariant vs the clean
+   reference twin.
+2. Per-operator timings of every `queries()` entry from __spark_entry__.py at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+     SPARKCHECK_BENCH_CLIPS (default 1_500_000),
+     SPARKCHECK_BENCH_SNR_CLIPS (default 50_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_META = int(os.environ.get("SPARKCHECK_BENCH_CLIPS", "1500000"))
+N_SNR = int(os.environ.get("SPARKCHECK_BENCH_SNR_CLIPS", "50000"))
+WORK = os.environ.get("SPARKCHECK_BENCH_DIR", "/tmp/sparkcheck_bench")
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkcheck-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def audio_contract_suite():
+    """The north-star metadata contract over audio_clips (no bytes scan —
+    Catalyst prunes the binary column out of this suite's single fused pass)."""
+    from sparkcheck import ExpectationSuite
+    return (
+        ExpectationSuite("audio_contract")
+        .add("expect_column_values_to_not_be_null", column="clip_id", mostly=0.999)
+        .add("expect_column_values_to_match_regex", column="clip_id",
+             regex=r"^clip-[0-9]{10}$", mostly=0.99)
+        .add("expect_column_values_to_be_unique", column="clip_id", mostly=0.99)
+        .add("expect_column_values_to_be_between", column="sr_hz",
+             min_value=8000, max_value=48000, mostly=0.999)
+        .add("expect_column_values_to_be_in_set", column="codec",
+             value_set=["wav", "flac", "mp3", "opus"], mostly=0.999)
+        .add("expect_column_value_lengths_to_be_between", column="transcript",
+             min_value=5, max_value=400, mostly=0.99)
+        .add("expect_column_values_to_be_between", column="dur_ms",
+             min_value=200, max_value=30000)
+        .add("expect_column_mean_to_be_between", column="dur_ms",
+             min_value=2000, max_value=5000)
+        .add("expect_column_stdev_to_be_between", column="dur_ms",
+             min_value=100, max_value=5000)
+        .add("expect_column_kl_divergence_to_be_less_than", column="dur_ms",
+             partition_object={
+                 "bins": [200, 1500, 2500, 3500, 5000, 8000, 30000],
+                 "weights": [0.18, 0.26, 0.20, 0.17, 0.12, 0.07]},
+             threshold=1.0, tail_weight_holdout=0.01)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+
+
+def setup_bench_tables(spark) -> tuple[str, str, str]:
+    """Generate + write the audio parquet tables once (untimed setup)."""
+    from sparkcheck.io import generate_audio_clips
+    meta_path = os.path.join(WORK, f"clips_meta_{N_META}")
+    snr_path = os.path.join(WORK, f"clips_bytes_{N_SNR}")
+    ref_path = os.path.join(WORK, f"clips_ref_{N_SNR}")
+    if not os.path.exists(os.path.join(meta_path, "_SUCCESS")):
+        shutil.rmtree(meta_path, ignore_errors=True)
+        (generate_audio_clips(spark, N_META, with_bytes=False, num_partitions=4 * CPUS)
+         .write.mode("overwrite").parquet(meta_path))
+    if not os.path.exists(os.path.join(snr_path, "_SUCCESS")):
+        shutil.rmtree(snr_path, ignore_errors=True)
+        (generate_audio_clips(spark, N_SNR, num_partitions=2 * CPUS)
+         .write.mode("overwrite").parquet(snr_path))
+    if not os.path.exists(os.path.join(ref_path, "_SUCCESS")):
+        shutil.rmtree(ref_path, ignore_errors=True)
+        (generate_audio_clips(spark, N_SNR, clean=True, num_partitions=2 * CPUS)
+         .write.mode("overwrite").parquet(ref_path))
+    return meta_path, snr_path, ref_path
+
+
+def run_headline(spark, meta_path: str, snr_path: str, ref_path: str) -> dict:
+    from sparkcheck import ExpectationSuite, validate
+
+    out: dict = {}
+    clips = spark.read.parquet(meta_path)
+    t0 = time.time()
+    res = validate(clips, audio_contract_suite(), per_partition=True)
+    dt = time.time() - t0
+    assert res.statistics["evaluated_expectations"] == 11
+    out["audio_suite_sec"] = round(dt, 3)
+    out["audio_suite_clips_per_sec"] = round(N_META / dt, 1)
+    out["audio_suite_success"] = bool(res.success)
+
+    dirty = spark.read.parquet(snr_path)
+    ref = spark.read.parquet(ref_path)
+    suite = ExpectationSuite("snr").add(
+        "expect_audio_snr_vs_reference_to_be_above",
+        reference_table="ref", min_snr_db=30.0, mostly=0.99)
+    t0 = time.time()
+    res = validate(dirty, suite, tables={"ref": ref})
+    dt = time.time() - t0
+    out["audio_snr_sec"] = round(dt, 3)
+    out["audio_snr_clips_per_sec"] = round(N_SNR / dt, 1)
+    out["audio_snr_unexpected"] = int(res.results[0].result["unexpected_count"])
+    return out
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+    times: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        meta_path, snr_path, ref_path = setup_bench_tables(spark)
+        headline = run_headline(spark, meta_path, snr_path, ref_path)
+        qtimes = run_queries(spark)
+        queries = dict(qtimes)
+        queries["audio_contract_suite_1500k"] = headline["audio_suite_sec"]
+        queries["audio_snr_invariant_50k"] = headline["audio_snr_sec"]
+        total = round(sum(queries.values()), 3)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf = float(sf)
+        except ValueError:
+            sf = SF_DIR
+        print(json.dumps({
+            "metric": "sparkcheck full-suite validation + operator queries, wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": CPUS,
+            "bench_clips": N_META,
+            "clips_per_sec_metadata_suite": headline["audio_suite_clips_per_sec"],
+            "clips_per_sec_snr_invariant": headline["audio_snr_clips_per_sec"],
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
