@@ -61,7 +61,8 @@ def q_ge_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused DataFrame aggregation pass'."""
     from sparkcheck.profiler import build_reference_profile
     li = _t(spark, sf_dir, "lineitem")
-    prof = build_reference_profile(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    prof = build_reference_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], quantiles=[])
     rows = []
     for c, p in prof["columns"].items():
         rows += [
@@ -581,17 +582,23 @@ SELECT 'normalized', CAST(coalesce(sum(cnt),0) AS BIGINT), CAST(count(*) AS BIGI
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """Word-set Jaccard histogram over all pairs sharing a token."""
+    """3-gram-shingle Jaccard histogram over pairs sharing a shingle.
+    1-gram shingles make every stopword a hot key (O(df^2) pairs); 3-grams
+    keep the shared-shingle self-join selective — the same skew reasoning as
+    the north rule's hot-key salting."""
     from sparkcheck.pipeline.dedup import jaccard_pairs
     d = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.0)
+    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.0)
     return (pairs
             .withColumn("bucket", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
 
 
 _SQL_DEDUP_JACCARD = """
-WITH s AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS sh FROM documents),
+WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+s AS (SELECT DISTINCT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(ws)-2,0)),
+                            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
 sz AS (SELECT doc_id, count(*) sz FROM s GROUP BY 1),
 p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),

@@ -45,12 +45,40 @@ def encode_wav_pcm16(samples: np.ndarray, sr_hz: int) -> bytes:
     return buf.getvalue()
 
 
+def _riff_pcm16_fast(payload: bytes) -> np.ndarray | None:
+    """Zero-copy RIFF/WAVE PCM16 decode: walk the chunk list with byte ops
+    instead of wave.open (which costs ~20us/row in the hot UDF loop). Returns
+    None when the container isn't plain PCM16 (caller falls back to `wave`)."""
+    if len(payload) < 44 or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok, data = 12, False, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= n:
+            audio_fmt = int.from_bytes(payload[pos + 8:pos + 10], "little")
+            bits = int.from_bytes(payload[pos + 22:pos + 24], "little")
+            fmt_ok = audio_fmt == 1 and bits == 16
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if not fmt_ok or data is None:
+        return None
+    usable = len(data) - (len(data) % 2)
+    return np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+
+
 def decode_pcm(payload: bytes | None, codec: str | None, strict_codecs: bool = False) -> np.ndarray | None:
     """Decode a clip payload to float64 PCM in [-1, 1]."""
     if payload is None:
         return None
     codec = (codec or "wav").lower()
     if codec == "wav" or payload[:4] == b"RIFF":
+        fast = _riff_pcm16_fast(bytes(payload))
+        if fast is not None:
+            return fast
         try:
             with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                 frames = w.readframes(w.getnframes())

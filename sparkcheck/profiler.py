@@ -40,7 +40,7 @@ def build_reference_profile(
     """ONE fused agg pass for stats + quantiles, a second for histogram bins
     (bin edges depend on pass-1 quantiles), plus one tiny groupBy per
     categorical column."""
-    qs = quantiles or DEFAULT_QUANTILES
+    qs = DEFAULT_QUANTILES if quantiles is None else quantiles
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or list(fields)
 
@@ -54,8 +54,10 @@ def build_reference_profile(
             exprs += [
                 F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"),
                 F.avg(c).alias(f"{c}__mean"), F.stddev_samp(c).alias(f"{c}__std"),
-                F.percentile(F.col(c), F.array(*[F.lit(q) for q in qs])).alias(f"{c}__q"),
             ]
+            if qs:  # exact percentile is sort-based — skip when not requested
+                exprs.append(F.percentile(
+                    F.col(c), F.array(*[F.lit(q) for q in qs])).alias(f"{c}__q"))
         elif isinstance(dt, T.StringType):
             string_cols.append(c)
             exprs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
@@ -82,7 +84,7 @@ def build_reference_profile(
     hrow = df.agg(*hist_exprs).first().asDict() if hist_exprs else {}
 
     for c in numeric_cols:
-        qvals = row.get(f"{c}__q")
+        qvals = row.get(f"{c}__q") if qs else None
         entry: dict[str, Any] = {
             "type": "numeric",
             "null_count": int(row[f"{c}__nulls"]),
