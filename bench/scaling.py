@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule: the same validation job on
+the same input at two parallelism levels — N=4 vs 4N=16 cores (the sandbox
+stand-in for N and 4N executors; 16 < nproc=32 so the 4N run is not distorted
+by whole-box turbo/membw saturation). Reports throughput at both plus
+efficiency = (thr_4N / thr_N) / 4, and asserts the two runs produce IDENTICAL
+global verdicts (BASELINE.md: verdicts must agree across cluster sizes).
+
+Each parallelism level runs in its own subprocess => a clean JVM per level
+(an in-process SparkSession restart leaks executor state between levels).
+
+Workloads:
+- metadata contract suite (fused single-pass agg + uniqueness + drift) over
+  SPARKCHECK_SCALE_CLIPS rows (default 24M, parquet, generated once),
+- SNR audio invariant (Arrow pandas UDF over an equi-join on clip_id) over
+  SPARKCHECK_SCALE_SNR_CLIPS rows (default 200k).
+
+Arrow batches are capped at 2048 records: the default 10k-record batches of
+~4 KB binary payloads are ~80 MB each — with many concurrent python workers
+that thrashes memory and *anti-scales* (measured 3x slowdown at 32 tasks).
+
+Writes bench/scaling_results.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_META = int(os.environ.get("SPARKCHECK_SCALE_CLIPS", "24000000"))
+N_SNR = int(os.environ.get("SPARKCHECK_SCALE_SNR_CLIPS", "150000"))
+SNR_MS = int(os.environ.get("SPARKCHECK_SCALE_SNR_MS", "2000"))  # realistic ~2s clips: decode-dominated
+WORK = os.environ.get("SPARKCHECK_BENCH_DIR", "/tmp/sparkcheck_bench")
+CPU_LO = int(os.environ.get("SPARKCHECK_SCALE_N", "4"))
+CPU_HI = int(os.environ.get("SPARKCHECK_SCALE_4N", "16"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"sparkcheck-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_tables() -> tuple[str, str, str]:
+    from sparkcheck.io import generate_audio_clips
+    meta = os.path.join(WORK, f"clips_meta_{N_META}")
+    snr = os.path.join(WORK, f"clips_bytes_{N_SNR}_ms{SNR_MS}")
+    ref = os.path.join(WORK, f"clips_ref_{N_SNR}_ms{SNR_MS}")
+    todo = [p for p in (meta, snr, ref) if not os.path.exists(os.path.join(p, "_SUCCESS"))]
+    if todo:
+        spark = build_spark(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        if meta in todo:
+            (generate_audio_clips(spark, N_META, with_bytes=False, num_partitions=256)
+             .write.mode("overwrite").parquet(meta))
+        if snr in todo:
+            (generate_audio_clips(spark, N_SNR, num_partitions=64, audio_ms_cap=SNR_MS)
+             .write.mode("overwrite").parquet(snr))
+        if ref in todo:
+            (generate_audio_clips(spark, N_SNR, clean=True, num_partitions=64, audio_ms_cap=SNR_MS)
+             .write.mode("overwrite").parquet(ref))
+        spark.stop()
+    return meta, snr, ref
+
+
+def verdict_key(res) -> list:
+    """Global EVR fingerprint: must be identical across parallelism levels."""
+    return [[
+        r.expectation_config.expectation_type,
+        r.expectation_config.kwargs.get("column", ""),
+        bool(r.success),
+        int(r.result.get("unexpected_count") or 0),
+    ] for r in res.results]
+
+
+def run_at(cpus: int, meta: str, snr: str, ref: str) -> dict:
+    from bench import audio_contract_suite
+    from sparkcheck import ExpectationSuite, validate
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        clips = spark.read.parquet(meta)
+        # JVM/codegen warmup on a tiny slice so the timed run measures the scan
+        validate(clips.limit(1000), audio_contract_suite())
+        t0 = time.time()
+        res_meta = validate(clips, audio_contract_suite())
+        dt_meta = time.time() - t0
+
+        dirty, refdf = spark.read.parquet(snr), spark.read.parquet(ref)
+        suite = ExpectationSuite("snr").add(
+            "expect_audio_snr_vs_reference_to_be_above",
+            reference_table="ref", min_snr_db=30.0, mostly=0.99)
+        validate(dirty.limit(500), suite, tables={"ref": refdf.limit(500)})
+        t0 = time.time()
+        res_snr = validate(dirty, suite, tables={"ref": refdf})
+        dt_snr = time.time() - t0
+        return {
+            "cpus": cpus,
+            "meta_sec": round(dt_meta, 2),
+            "meta_clips_per_sec": round(N_META / dt_meta, 1),
+            "snr_sec": round(dt_snr, 2),
+            "snr_clips_per_sec": round(N_SNR / dt_snr, 1),
+            "verdicts": verdict_key(res_meta) + verdict_key(res_snr),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        # child mode: one parallelism level in a clean JVM
+        cpus = int(sys.argv[2])
+        meta, snr, ref = (os.path.join(WORK, f"clips_meta_{N_META}"),
+                          os.path.join(WORK, f"clips_bytes_{N_SNR}_ms{SNR_MS}"),
+                          os.path.join(WORK, f"clips_ref_{N_SNR}_ms{SNR_MS}"))
+        print("SCALERESULT " + json.dumps(run_at(cpus, meta, snr, ref)))
+        return
+
+    os.makedirs(WORK, exist_ok=True)
+    ensure_tables()
+
+    def child(cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        for line in proc.stdout.splitlines():
+            if line.startswith("SCALERESULT "):
+                return json.loads(line[len("SCALERESULT "):])
+        raise RuntimeError(f"child cpus={cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+    lo = child(CPU_LO)
+    hi = child(CPU_HI)
+    factor = CPU_HI / CPU_LO
+    eff_meta = (hi["meta_clips_per_sec"] / lo["meta_clips_per_sec"]) / factor
+    eff_snr = (hi["snr_clips_per_sec"] / lo["snr_clips_per_sec"]) / factor
+    out = {
+        "workload_clips": {"metadata_suite": N_META, "snr_invariant": N_SNR,
+                           "snr_clip_ms_cap": SNR_MS},
+        "n_parallelism": CPU_LO, "4n_parallelism": CPU_HI,
+        "metadata_suite": {
+            "throughput_at_N": lo["meta_clips_per_sec"],
+            "throughput_at_4N": hi["meta_clips_per_sec"],
+            "sec_at_N": lo["meta_sec"], "sec_at_4N": hi["meta_sec"],
+            "scaling_efficiency": round(eff_meta, 3),
+        },
+        "snr_invariant": {
+            "throughput_at_N": lo["snr_clips_per_sec"],
+            "throughput_at_4N": hi["snr_clips_per_sec"],
+            "sec_at_N": lo["snr_sec"], "sec_at_4N": hi["snr_sec"],
+            "scaling_efficiency": round(eff_snr, 3),
+        },
+        "verdicts_identical_across_sizes": lo["verdicts"] == hi["verdicts"],
+        "unit": "clips/sec",
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_results.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

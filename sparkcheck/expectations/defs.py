@@ -120,6 +120,12 @@ _reg(ExpectationSpec(
 _reg(ExpectationSpec(
     "expect_column_values_to_be_json_parseable", "map",
     condition=C.json_parseable, defaults=dict(_MOSTLY)))
+_reg(ExpectationSpec(
+    "expect_column_values_to_match_json_schema", "map",
+    condition=C.match_json_schema, defaults=dict(_MOSTLY)))
+_reg(ExpectationSpec(
+    "expect_column_values_to_be_dateutil_parseable", "map",
+    condition=C.dateutil_parseable, defaults=dict(_MOSTLY)))
 
 _reg(ExpectationSpec(
     "expect_column_values_to_be_increasing", "map_window",
@@ -133,6 +139,12 @@ _reg(ExpectationSpec(
     condition=C.unique, defaults=dict(_MOSTLY)))
 _reg(ExpectationSpec(
     "expect_compound_columns_to_be_unique", "map_unique",
+    condition=C.compound_columns_unique, defaults=dict(_MOSTLY),
+    extra={"compound": True}))
+# legacy V2 name (reference marks it notimplemented in V3 for every engine,
+# self_check/util.py:1320; semantics = compound uniqueness)
+_reg(ExpectationSpec(
+    "expect_multicolumn_values_to_be_unique", "map_unique",
     condition=C.compound_columns_unique, defaults=dict(_MOSTLY),
     extra={"compound": True}))
 
@@ -232,6 +244,13 @@ _reg(ExpectationSpec(
 _reg(ExpectationSpec(
     "expect_column_most_common_value_to_be_in_set", "value",
     extra={"handler": "most_common_value"}, defaults={"ties_okay": False}))
+# reference is pandas-only (crosstab + chi2 — expect_column_pair_cramers_phi
+# _value_to_be_less_than); ours: distributed groupBy(A,B) contingency +
+# driver-side chi2/phi (guarded by max_cells)
+_reg(ExpectationSpec(
+    "expect_column_pair_cramers_phi_value_to_be_less_than", "value",
+    extra={"handler": "cramers_phi"},
+    defaults={"threshold": 0.1, "max_cells": 10_000}))
 
 # ------------------------------------------------------------- table level
 
@@ -281,6 +300,22 @@ _reg(ExpectationSpec(
 _reg(ExpectationSpec(
     "expect_column_chisquare_statistic_to_be_less_than", "drift",
     extra={"score": "chisq"}, defaults={}))
+# p-value drift variants (reference scores these with scipy on raw pandas
+# data — pandas-only; ours scores the binned sketch with scipy-free tails,
+# success = p_value > threshold)
+_reg(ExpectationSpec(
+    "expect_column_chisquare_test_p_value_to_be_greater_than", "drift",
+    extra={"score": "chisq_p", "direction": "greater"},
+    defaults={"threshold": 0.05}))
+_reg(ExpectationSpec(
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", "drift",
+    extra={"score": "ks_p", "direction": "greater"},
+    defaults={"threshold": 0.05}))
+_reg(ExpectationSpec(
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+    "drift",
+    extra={"score": "ks_param_p", "direction": "greater"},
+    defaults={"threshold": 0.05}))
 
 # ------------------------------------------------------- audio invariants
 

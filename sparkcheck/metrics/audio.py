@@ -67,11 +67,13 @@ def _riff_pcm16_fast(payload: bytes) -> np.ndarray | None:
     if not fmt_ok or data is None:
         return None
     usable = len(data) - (len(data) % 2)
-    return np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    v = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32)
+    v /= 32768.0
+    return v
 
 
 def decode_pcm(payload: bytes | None, codec: str | None, strict_codecs: bool = False) -> np.ndarray | None:
-    """Decode a clip payload to float64 PCM in [-1, 1]."""
+    """Decode a clip payload to float32 PCM in [-1, 1]."""
     if payload is None:
         return None
     codec = (codec or "wav").lower()
@@ -82,19 +84,19 @@ def decode_pcm(payload: bytes | None, codec: str | None, strict_codecs: bool = F
         try:
             with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                 frames = w.readframes(w.getnframes())
-            return np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            return np.frombuffer(frames, dtype="<i2").astype(np.float32) / np.float32(32768.0)
         except (wave.Error, EOFError):
             return None
     if codec == "pcm":
         usable = len(payload) - (len(payload) % 2)
-        return np.frombuffer(bytes(payload[:usable]), dtype="<i2").astype(np.float64) / 32768.0
+        return np.frombuffer(bytes(payload[:usable]), dtype="<i2").astype(np.float32) / np.float32(32768.0)
     if strict_codecs:
         # STUB: flac/mp3/opus decoders are not available in this container.
         raise NotImplementedError(
             f"codec '{codec}' decode requires an external codec library; "
             "pass strict_codecs=False to treat the payload as raw PCM16")
     usable = len(payload) - (len(payload) % 2)
-    return np.frombuffer(bytes(payload[:usable]), dtype="<i2").astype(np.float64) / 32768.0
+    return np.frombuffer(bytes(payload[:usable]), dtype="<i2").astype(np.float32) / np.float32(32768.0)
 
 
 def snr_db(ref: np.ndarray | None, test: np.ndarray | None) -> float:
@@ -105,11 +107,15 @@ def snr_db(ref: np.ndarray | None, test: np.ndarray | None) -> float:
     n = min(len(ref), len(test))
     if n == 0:
         return float("-inf")
-    sig = float(np.sum(ref[:n] ** 2))
-    noise = float(np.sum((ref[:n] - test[:n]) ** 2))
+    # dot products (SIMD, no temp squares); SNR is scale-invariant so the
+    # float32 PCM scale cancels
+    r = ref[:n]
+    sig = float(np.dot(r, r))
+    d = r - test[:n]
+    noise = float(np.dot(d, d))
     if len(ref) != len(test):
         tail = ref[n:] if len(ref) > n else test[n:]
-        noise += float(np.sum(tail**2))
+        noise += float(np.dot(tail, tail))
     if noise == 0.0:
         return float("inf")
     if sig == 0.0:
@@ -150,7 +156,7 @@ def salted_repartition(df: DataFrame, hot_key: str, n_salts: int = 16,
             .drop("__salt"))
 
 
-def with_snr_vs_reference(
+def snr_scores(
     df: DataFrame,
     ref: DataFrame,
     *,
@@ -159,27 +165,68 @@ def with_snr_vs_reference(
     codec_col: str = "codec",
     broadcast_reference: bool | None = None,
     strict_codecs: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Join clips to their reference and append `__snr_db` + `__has_ref`.
+    """(key, __has_ref, __nn, __snr_db) per clip: equi-join on the (unique)
+    clip key, then Arrow-batched decode in ``mapInPandas``.
 
-    Column pruning keeps the scan to (key, bytes, codec) on both sides; the
-    join is an equi-join on the (unique) clip key, so no skew by construction —
-    skew only arises if callers pre-partition by codec/sr_hz, where
-    salted_repartition applies.
+    Why mapInPandas + explicit repartition rather than a scalar pandas UDF in
+    a projection: Catalyst extracts python UDFs into an ArrowEvalPython node
+    placed where the UDF's inputs are produced — i.e. BELOW any later
+    repartition — and AQE coalesces the join's shuffle by *compressed* size,
+    which for compressible payloads collapses the decode stage to one
+    partition (measured: 16x parallelism lost). mapInPandas is a physical
+    node that stays above the repartition, so the decode always runs at
+    ``num_partitions`` (default 2x defaultParallelism) regardless of how well
+    the payload compressed in the shuffle. Column pruning keeps the scan to
+    (key, bytes, codec) on both sides.
     """
+    key_type = df.schema[join_key].dataType.simpleString()
     r = ref.select(
         F.col(join_key),
         F.col(bytes_col).alias("__ref_bytes"),
         F.col(codec_col).alias("__ref_codec"))
+    left = df.select(
+        F.col(join_key), F.col(bytes_col).alias("__bytes"),
+        F.col(codec_col).alias("__codec"))
     if broadcast_reference:
         r = F.broadcast(r)
-    snr = make_snr_udf(strict_codecs)
-    joined = df.join(r, on=join_key, how="left")
-    return joined.withColumn("__has_ref", F.col("__ref_bytes").isNotNull()).withColumn(
-        "__snr_db",
-        F.when(F.col("__ref_bytes").isNotNull() & F.col(bytes_col).isNotNull(),
-               snr(F.col(bytes_col), F.col(codec_col),
-                   F.col("__ref_bytes"), F.col("__ref_codec"))))
+    else:
+        # co-partition BOTH sides by the join key: the sort-merge join reuses
+        # these user-specified exchanges (no extra binary shuffle), and —
+        # unlike the join's own shuffle — AQE does not coalesce them by
+        # compressed size, so the decode stage keeps `parts` partitions even
+        # when the payload compresses well in flight. Equivalent to bucketed
+        # storage co-location at 100 TB scale (SURVEY.md §2.8).
+        parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+        left = left.repartition(parts, F.col(join_key))
+        r = r.repartition(parts, F.col(join_key))
+    joined = left.join(r, on=join_key, how="left")
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = np.empty(n, dtype=np.float64)
+            payload, codec = pdf["__bytes"], pdf["__codec"]
+            rbytes, rcodec = pdf["__ref_bytes"], pdf["__ref_codec"]
+            for i in range(n):
+                out[i] = snr_db(
+                    decode_pcm(rbytes.iloc[i], rcodec.iloc[i], strict_codecs),
+                    decode_pcm(payload.iloc[i], codec.iloc[i], strict_codecs))
+            yield pd.DataFrame({
+                join_key: pdf[join_key],
+                "__has_ref": rbytes.notna(),
+                "__nn": payload.notna(),
+                "__snr_db": out,
+            })
+
+    return joined.mapInPandas(
+        score,
+        schema=f"{join_key} {key_type}, __has_ref boolean, __nn boolean, __snr_db double")
+
+
+# backwards-compatible name
+with_snr_vs_reference = snr_scores
 
 
 def run_snr_item(run, item, dfd: DataFrame, grow: dict):
@@ -187,33 +234,49 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
 
     unexpected = rows with non-null bytes whose reference is missing OR whose
     decoded-PCM SNR < min_snr_db.
+
+    One decode pass total: the join+UDF output is projected down to
+    (key, flags, snr) — a few bytes/row, no binary — and persisted, so the
+    element/nonnull counts, the unexpected count, AND the violation samples
+    all come from that single expensive pass. Assumes the reference table has
+    unique join keys (it is the golden twin). The fused suite pass never
+    touches the binary column (planner skips slots for audio items).
     """
-    from ..runner import CompiledItem  # noqa: F401 (type only)
+    from pyspark import StorageLevel
 
     kw = item.kwargs
+    key = kw.get("join_key", "clip_id")
     ref = run.tables[kw["reference_table"]]
-    scored = with_snr_vs_reference(
+    scored = snr_scores(
         dfd, ref,
-        join_key=kw.get("join_key", "clip_id"),
+        join_key=key,
         bytes_col=kw.get("bytes_column", "bytes"),
         codec_col=kw.get("codec_column", "codec"),
         broadcast_reference=kw.get("broadcast_reference"),
-        strict_codecs=kw.get("strict_codecs", False))
+        strict_codecs=kw.get("strict_codecs", False),
+        num_partitions=kw.get("num_partitions"))
     min_snr = float(kw.get("min_snr_db", 30.0))
-    bytes_col = kw.get("bytes_column", "bytes")
-    nn = F.col(bytes_col).isNotNull()
+    nn = F.col("__nn")
     bad = nn & (~F.col("__has_ref") | (F.col("__snr_db") < min_snr))
-    agg = scored.agg(
-        F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)).alias("u"),
-        F.avg(F.when(nn, F.col("__snr_db"))).alias("mean_snr")).first()
-    unexpected = int(agg["u"])
-    element = int(grow[item.slots["element"]] or 0)
-    nonnull = int(grow[item.slots["nonnull"]] or 0)
-    samples: list = []
-    if unexpected and run.rf["result_format"] != "BOOLEAN_ONLY":
-        key = kw.get("join_key", "clip_id")
-        samples = [r[key] for r in scored.filter(bad).select(key)
-                   .limit(run._sample_limit()).collect()]
+    proj = scored.select(
+        F.col(key).alias("__k"), nn.alias("__nn2"), bad.alias("__bad"),
+        F.when(nn & F.col("__has_ref"), F.col("__snr_db")).alias("__snr"))
+    proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        agg = proj.agg(
+            F.count(F.lit(1)).alias("element"),
+            F.coalesce(F.sum(F.when(F.col("__nn2"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),
+            F.coalesce(F.sum(F.when(F.col("__bad"), 1).otherwise(0)), F.lit(0)).alias("u"),
+            F.avg("__snr").alias("mean_snr")).first()
+        unexpected = int(agg["u"])
+        element = int(agg["element"])
+        nonnull = int(agg["nonnull"])
+        samples: list = []
+        if unexpected and run.rf["result_format"] != "BOOLEAN_ONLY":
+            samples = [r["__k"] for r in proj.filter("__bad").select("__k")
+                       .limit(run._sample_limit()).collect()]
+    finally:
+        proj.unpersist()
     evr = run._map_evr(item, element, nonnull, unexpected, samples)
     if evr.result:
         evr.result["details"] = {"mean_snr_db": _finite(agg["mean_snr"]), "min_snr_db": min_snr}

@@ -17,6 +17,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -160,6 +161,57 @@ def json_parseable(kwargs: dict) -> Column:
     # Reference uses a per-row json.loads UDF (column_values_json_parseable.py:28-36);
     # ours: Spark 4 variant parser, JVM-side.
     return F.try_parse_json(_c(kwargs)).isNotNull()
+
+
+def match_json_schema(kwargs: dict) -> Column:
+    """Reference uses a per-row jsonschema.validate UDF
+    (column_values_match_json_schema.py:38-46); ours is an Arrow-batched
+    pandas UDF (one python call per batch, not per row)."""
+    import json as _json
+
+    schema = kwargs["json_schema"]
+    if isinstance(schema, str):
+        schema = _json.loads(schema)
+
+    @F.pandas_udf("boolean")
+    def _matches(s: pd.Series) -> pd.Series:
+        import jsonschema
+
+        validator = jsonschema.validators.validator_for(schema)(schema)
+
+        def ok(v):
+            if v is None:
+                return None
+            try:
+                validator.validate(_json.loads(v))
+                return True
+            except (_json.JSONDecodeError, jsonschema.ValidationError, TypeError):
+                return False
+
+        return s.map(ok)
+
+    return _matches(_c(kwargs))
+
+
+def dateutil_parseable(kwargs: dict) -> Column:
+    """Reference is pandas-only (suppressed for spark, self_check/util.py:1314);
+    ours: Arrow-batched pandas UDF over dateutil.parser."""
+    @F.pandas_udf("boolean")
+    def _parseable(s: pd.Series) -> pd.Series:
+        from dateutil.parser import parse
+
+        def ok(v):
+            if v is None:
+                return None
+            try:
+                parse(v)
+                return True
+            except (ValueError, OverflowError, TypeError):
+                return False
+
+        return s.map(ok)
+
+    return _parseable(_c(kwargs))
 
 
 def _ordered_window(kwargs: dict) -> Window:

@@ -111,6 +111,126 @@ def chisquare_statistic(observed_counts: list[float], expected_weights: list[flo
     return float(np.sum((obs[mask] - expected_counts[mask]) ** 2 / expected_counts[mask]))
 
 
+# ---------------------------------------------------------------- p-values
+# scipy is not available in this container; the tail probabilities below are
+# standard textbook algorithms (regularized incomplete gamma via series /
+# continued fraction; Kolmogorov asymptotic series) in pure python/numpy.
+
+
+def _gammainc_upper_reg(s: float, x: float, max_iter: int = 200, eps: float = 1e-12) -> float:
+    """Regularized upper incomplete gamma Q(s, x) = Gamma(s,x)/Gamma(s)."""
+    import math
+    if x < 0 or s <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    lg = math.lgamma(s)
+    if x < s + 1.0:
+        # lower series P(s,x), return 1 - P
+        term = 1.0 / s
+        total = term
+        a = s
+        for _ in range(max_iter):
+            a += 1.0
+            term *= x / a
+            total += term
+            if abs(term) < abs(total) * eps:
+                break
+        p = total * math.exp(-x + s * math.log(x) - lg)
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q (modified Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, max_iter + 1):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    q = h * math.exp(-x + s * math.log(x) - lg)
+    return max(0.0, min(1.0, q))
+
+
+def chisquare_p_value(observed_counts: list[float], expected_weights: list[float]) -> tuple[float, dict]:
+    """Chi-square goodness-of-fit p-value on the binned counts.
+    dof = (#bins with expected mass) - 1."""
+    stat = chisquare_statistic(observed_counts, expected_weights)
+    exp = np.asarray(expected_weights, dtype=float)
+    dof = max(1, int((exp > 0).sum()) - 1)
+    if not np.isfinite(stat):
+        return 0.0, {"chi2_statistic": stat, "dof": dof}
+    p = _gammainc_upper_reg(dof / 2.0, stat / 2.0)
+    return float(p), {"chi2_statistic": float(stat), "dof": dof}
+
+
+def kolmogorov_sf(lam: float) -> float:
+    """Q_KS(lambda) = 2 * sum_{j>=1} (-1)^{j-1} exp(-2 j^2 lambda^2)."""
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for j in range(1, 101):
+        term = 2.0 * (-1.0) ** (j - 1) * np.exp(-2.0 * j * j * lam * lam)
+        total += term
+        if abs(term) < 1e-12:
+            break
+    return float(min(1.0, max(0.0, total)))
+
+
+def ks_p_value(ks: float, n: float) -> float:
+    """Asymptotic one-sample KS p-value with the small-n correction
+    lambda = (sqrt(n) + 0.12 + 0.11/sqrt(n)) * D. The reference bootstraps
+    scipy KS on raw samples (pandas-only); ours scores the binned sketch CDF —
+    distributed-friendly at 10^12 rows."""
+    if n <= 0:
+        return 1.0
+    en = float(np.sqrt(n))
+    return kolmogorov_sf((en + 0.12 + 0.11 / en) * ks)
+
+
+def distribution_cdf(dist: str, params: dict, x: float) -> float:
+    """CDF of a named distribution (norm/uniform/expon) at x — scipy-free."""
+    import math
+    if dist in ("norm", "normal"):
+        m = float(params.get("mean", params.get("loc", 0.0)))
+        sd = float(params.get("std_dev", params.get("scale", 1.0)))
+        if sd <= 0:
+            return 0.0 if x < m else 1.0
+        return 0.5 * (1.0 + math.erf((x - m) / (sd * math.sqrt(2.0))))
+    if dist == "uniform":
+        lo = float(params.get("min_value", params.get("loc", 0.0)))
+        scale = params.get("scale")
+        hi = float(params["max_value"]) if "max_value" in params else lo + float(scale or 1.0)
+        if x <= lo:
+            return 0.0
+        if x >= hi:
+            return 1.0
+        return (x - lo) / (hi - lo)
+    if dist in ("expon", "exponential"):
+        loc = float(params.get("loc", 0.0))
+        scale = float(params.get("scale", 1.0))
+        if x <= loc:
+            return 0.0
+        return 1.0 - math.exp(-(x - loc) / scale)
+    raise ValueError(f"unsupported distribution: {dist}")
+
+
+def distribution_bin_weights(dist: str, params: dict, bins: list[float]) -> tuple[list[float], float, float]:
+    """Expected per-bin mass + below/above tail mass of a named distribution
+    on the given bin edges (for parameterized-distribution KS on sketches)."""
+    cdfs = [distribution_cdf(dist, params, b) for b in bins]
+    weights = [max(0.0, cdfs[i + 1] - cdfs[i]) for i in range(len(bins) - 1)]
+    return weights, cdfs[0], 1.0 - cdfs[-1]
+
+
 def build_partition_from_edges(edges: list[float], counts: list[float]) -> dict:
     """Continuous partition object ({bins, weights}) from histogram counts —
     same JSON shape the reference validates in execution_engine/util.py:48-78."""

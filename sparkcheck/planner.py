@@ -132,7 +132,14 @@ def compile_suite(suite_expectations: list[ExpectationConfiguration]) -> Compile
                 f"agg::stddev::{kw['column']}", F.stddev_samp(col))
             dp.dependent_items.append(item)
 
-        elif spec.kind in ("map_window", "map_unique", "value", "referential", "audio"):
+        elif spec.kind == "audio":
+            # audio invariants compute element/nonnull inside their own
+            # join+UDF job — adding slots here would force the fused pass to
+            # scan the binary column, breaking column pruning for the rest of
+            # the suite (SURVEY.md §4 row 5: never read bytes unless needed)
+            dp.job_items.append(item)
+
+        elif spec.kind in ("map_window", "map_unique", "value", "referential"):
             # these need their own job, but element/nonnull counts still come
             # from the fused pass (except pure other-table checks)
             if spec.extra.get("handler") == "row_count_other_table":
@@ -245,4 +252,15 @@ def _compile_drift(dp: DomainPlan, item: CompiledItem) -> None:
         ]
         item.info["bin_aliases"] = aliases
         item.info["values"] = list(values)
-    item.info["expected_weights"] = [float(w) for w in po["weights"]]
+    if "weights" in po:
+        item.info["expected_weights"] = [float(w) for w in po["weights"]]
+    elif item.spec.extra.get("score") == "ks_param_p":
+        # parameterized-distribution KS: expected bin mass from the named
+        # distribution's CDF at the bin edges (scipy-free; sketches.py)
+        from .metrics.sketches import distribution_bin_weights
+        weights, below_w, above_w = distribution_bin_weights(
+            kw["distribution"], kw.get("params", {}), item.info["bins"])
+        item.info["expected_weights"] = weights
+        item.info["expected_tail_weights"] = [below_w, above_w]
+    else:
+        raise ValueError(f"{item.config.expectation_type} partition_object requires weights")

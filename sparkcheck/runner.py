@@ -222,10 +222,20 @@ class ValidationRun:
             value, details = sketches.ks_statistic(counts, expected), {}
         elif score_kind == "psi":
             value, details = sketches.psi(counts, expected), {}
+        elif score_kind == "chisq_p":
+            value, details = sketches.chisquare_p_value(counts, expected)
+        elif score_kind in ("ks_p", "ks_param_p"):
+            ks = sketches.ks_statistic(counts, expected)
+            n_eff = sum(counts)
+            value = sketches.ks_p_value(ks, n_eff)
+            details = {"ks_statistic": ks, "n_effective": n_eff}
         else:
             value, details = sketches.chisquare_statistic(counts, expected), {}
         threshold = float(kw["threshold"])
-        success = value is not None and value < threshold
+        if item.spec.extra.get("direction") == "greater":
+            success = value is not None and value > threshold
+        else:
+            success = value is not None and value < threshold
         observed_partition = (
             sketches.build_categorical_partition(item.info["values"], counts)
             if categorical else sketches.build_partition_from_edges(item.info["bins"], counts))
@@ -244,6 +254,8 @@ class ValidationRun:
         if handler_kind == "map_unique":
             return self._run_unique_item(item, dfd, grow)
         if handler_kind == "value":
+            if item.spec.extra.get("handler") == "cramers_phi":
+                return self._run_cramers_phi(item, dfd, grow)
             return self._run_most_common(item, dfd, grow)
         if handler_kind == "referential":
             return self._run_referential(item, dfd, grow)
@@ -355,6 +367,47 @@ class ValidationRun:
         return ExpectationValidationResult(
             success=bool(success), expectation_config=item.config,
             result={"observed_value": observed})
+
+    def _run_cramers_phi(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
+        """Cramér's phi (V) of a column pair: distributed groupBy(A,B)
+        contingency counts, chi2 + phi scored driver-side. The reference is
+        pandas-only (crosstab + scipy chi2_contingency); no continuity
+        correction here. Guarded by max_cells against high-cardinality pairs."""
+        import math
+        kw = item.kwargs
+        ca, cb = kw["column_A"], kw["column_B"]
+        max_cells = int(kw.get("max_cells", 10_000))
+        cells = (dfd.filter(F.col(ca).isNotNull() & F.col(cb).isNotNull())
+                 .groupBy(ca, cb).agg(F.count(F.lit(1)).alias("__n"))
+                 .limit(max_cells + 1).collect())
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"cramers_phi contingency exceeds max_cells={max_cells}; "
+                "bucketize the columns first")
+        n = sum(r["__n"] for r in cells)
+        row_tot: dict = {}
+        col_tot: dict = {}
+        for r in cells:
+            row_tot[r[ca]] = row_tot.get(r[ca], 0) + r["__n"]
+            col_tot[r[cb]] = col_tot.get(r[cb], 0) + r["__n"]
+        chi2 = 0.0
+        if n > 0:
+            obs = {(r[ca], r[cb]): r["__n"] for r in cells}
+            for a, ra in row_tot.items():
+                for b, cb_tot in col_tot.items():
+                    e = ra * cb_tot / n
+                    o = obs.get((a, b), 0)
+                    if e > 0:
+                        chi2 += (o - e) ** 2 / e
+        k = min(len(row_tot), len(col_tot))
+        phi = math.sqrt(chi2 / (n * (k - 1))) if n > 0 and k > 1 else 0.0
+        threshold = float(kw["threshold"])
+        success = phi < threshold
+        return ExpectationValidationResult(
+            success=bool(success), expectation_config=item.config,
+            result={"observed_value": phi,
+                    "details": {"chi2": chi2, "n": n,
+                                "n_rows": len(row_tot), "n_cols": len(col_tot)}})
 
     def _run_referential(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
         kw, handler = item.kwargs, item.spec.extra["handler"]

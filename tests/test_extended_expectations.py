@@ -1,0 +1,154 @@
+"""Tests for the extended expectation surface: json-schema / dateutil
+pandas-UDF conditions, Cramér's phi, p-value drift variants, and the legacy
+multicolumn-unique alias. Ground truths are hand-computed on literal tables
+(the reference's golden-JSON style, SURVEY.md §5)."""
+
+import math
+
+import pytest
+
+from sparkcheck import ExpectationSuite, validate
+from sparkcheck.metrics import sketches
+
+
+def _one(df, etype, **kw):
+    suite = ExpectationSuite("t").add(etype, **kw)
+    return validate(df, suite).results[0]
+
+
+# ------------------------------------------------------------- UDF conditions
+
+
+def test_match_json_schema(spark):
+    schema = {"type": "object", "properties": {"a": {"type": "number"}},
+              "required": ["a"]}
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ('{"a": "x"}',), ('{"b": 2}',), ("not json",), (None,)],
+        "j string")
+    r = _one(df, "expect_column_values_to_match_json_schema",
+             column="j", json_schema=schema)
+    assert r.result["element_count"] == 5
+    assert r.result["unexpected_count"] == 3  # wrong type, missing key, invalid
+    assert r.result["missing_count"] == 1
+    assert not r.success
+
+
+def test_dateutil_parseable(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("Jan 5 2020 4:30pm",), ("not a date",), (None,)],
+        "d string")
+    r = _one(df, "expect_column_values_to_be_dateutil_parseable", column="d")
+    assert r.result["unexpected_count"] == 1
+    assert r.result["missing_count"] == 1
+
+
+# -------------------------------------------------------------- cramers phi
+
+
+def test_cramers_phi_perfect_association(spark):
+    # B fully determined by A -> phi = 1
+    rows = [("x", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = _one(df, "expect_column_pair_cramers_phi_value_to_be_less_than",
+             column_A="a", column_B="b", threshold=0.5)
+    assert r.result["observed_value"] == pytest.approx(1.0)
+    assert not r.success
+
+
+def test_cramers_phi_independence(spark):
+    # perfectly balanced 2x2 -> chi2 = 0 -> phi = 0
+    rows = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = _one(df, "expect_column_pair_cramers_phi_value_to_be_less_than",
+             column_A="a", column_B="b", threshold=0.1)
+    assert r.result["observed_value"] == pytest.approx(0.0)
+    assert r.success
+
+
+def test_cramers_phi_max_cells_guard(spark):
+    df = spark.createDataFrame([(i, i) for i in range(50)], "a int, b int")
+    r = _one(df, "expect_column_pair_cramers_phi_value_to_be_less_than",
+             column_A="a", column_B="b", threshold=0.5, max_cells=10)
+    assert r.exception_info["raised_exception"]
+
+
+# --------------------------------------------------------------- p-values
+
+
+def test_gammainc_matches_known_chi2_values():
+    # chi2 sf(x=3.84, dof=1) ~ 0.05; sf(x=5.99, dof=2) ~ 0.05
+    assert sketches._gammainc_upper_reg(0.5, 3.841 / 2) == pytest.approx(0.05, abs=1e-3)
+    assert sketches._gammainc_upper_reg(1.0, 5.991 / 2) == pytest.approx(0.05, abs=1e-3)
+    assert sketches._gammainc_upper_reg(2.5, 11.070 / 2) == pytest.approx(0.05, abs=1e-3)
+
+
+def test_kolmogorov_sf_known_values():
+    # Q_KS(1.36) ~ 0.049 (the classic 5% critical value)
+    assert sketches.kolmogorov_sf(1.36) == pytest.approx(0.049, abs=2e-3)
+    assert sketches.kolmogorov_sf(0.0) == 1.0
+
+
+def test_chisquare_p_value_drift(spark):
+    rows = [(float(v),) for v in ([5.0] * 50 + [15.0] * 50)]
+    df = spark.createDataFrame(rows, "x double")
+    po = {"bins": [0.0, 10.0, 20.0], "weights": [0.5, 0.5]}
+    r = _one(df, "expect_column_chisquare_test_p_value_to_be_greater_than",
+             column="x", partition_object=po, threshold=0.05)
+    # observed matches expected exactly -> chi2 = 0 -> p = 1
+    assert r.result["observed_value"] == pytest.approx(1.0)
+    assert r.success
+    # now a drifted expectation
+    po2 = {"bins": [0.0, 10.0, 20.0], "weights": [0.9, 0.1]}
+    r2 = _one(df, "expect_column_chisquare_test_p_value_to_be_greater_than",
+              column="x", partition_object=po2, threshold=0.05)
+    assert r2.result["observed_value"] < 0.001
+    assert not r2.success
+
+
+def test_bootstrapped_ks_p_value_drift(spark):
+    rows = [(float(v),) for v in ([5.0] * 500 + [15.0] * 500)]
+    df = spark.createDataFrame(rows, "x double")
+    po_ok = {"bins": [0.0, 10.0, 20.0], "weights": [0.5, 0.5]}
+    r = _one(df, "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+             column="x", partition_object=po_ok, threshold=0.05)
+    assert r.success and r.result["observed_value"] == pytest.approx(1.0)
+    po_bad = {"bins": [0.0, 10.0, 20.0], "weights": [0.95, 0.05]}
+    r2 = _one(df, "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+              column="x", partition_object=po_bad, threshold=0.05)
+    assert not r2.success
+
+
+def test_parameterized_distribution_ks(spark):
+    # data uniform on [0, 100) in 4 equal bins vs uniform distribution -> p ~ 1
+    rows = [(float(i % 100),) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x double")
+    r = _one(df,
+             "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+             column="x", distribution="uniform",
+             params={"min_value": 0.0, "max_value": 100.0},
+             partition_object={"bins": [0.0, 25.0, 50.0, 75.0, 100.0]},
+             threshold=0.05)
+    assert r.success
+    # same data vs norm(0,1) -> emphatic reject
+    r2 = _one(df,
+              "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+              column="x", distribution="norm", params={"mean": 50.0, "std_dev": 1.0},
+              partition_object={"bins": [0.0, 25.0, 50.0, 75.0, 100.0]},
+              threshold=0.05)
+    assert not r2.success
+
+
+def test_distribution_cdf_norm():
+    assert sketches.distribution_cdf("norm", {"mean": 0, "std_dev": 1}, 0.0) == pytest.approx(0.5)
+    assert sketches.distribution_cdf("norm", {"mean": 0, "std_dev": 1}, 1.96) == pytest.approx(0.975, abs=1e-3)
+
+
+# ------------------------------------------------------------- legacy alias
+
+
+def test_multicolumn_values_to_be_unique_alias(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "a")], "x int, y string")
+    r = _one(df, "expect_multicolumn_values_to_be_unique", column_list=["x", "y"])
+    assert r.result["unexpected_count"] == 2  # both rows of the dup pair
+    assert not r.success
