@@ -37,8 +37,13 @@ from .types import ExpectationSuite
 VERDICT_FIELDS = [
     "group_id", "snapshot_id", "checkpoint_epoch", "suite_name",
     "expectation_type", "domain", "success", "element_count",
-    "unexpected_count", "unexpected_sample_json",
+    "nonnull_count", "unexpected_count", "mostly", "unexpected_sample_json",
 ]
+
+# kinds whose global verdict is recomputable from summed (element, nonnull,
+# unexpected) counts — `mostly` semantics are NOT closed under AND-of-groups
+# (a suite can pass globally while single groups dip below the threshold)
+_COUNT_KINDS = {"map", "map_window", "map_unique", "map_dependent", "audio"}
 
 
 class Checkpoint:
@@ -107,17 +112,30 @@ class Checkpoint:
             result = run.run(self.suite)
             rows = {f: [] for f in VERDICT_FIELDS}
             for evr in result.results:
+                from .expectations.defs import get_spec
                 kw = evr.expectation_config.kwargs
+                etype = evr.expectation_config.expectation_type
+                try:
+                    count_based = (get_spec(etype).kind in _COUNT_KINDS
+                                   or (get_spec(etype).kind == "referential"
+                                       and "unexpected_count" in evr.result))
+                except KeyError:
+                    count_based = False
+                element = int(evr.result.get("element_count") or 0)
+                missing = int(evr.result.get("missing_count") or 0)
                 rows["group_id"].append(gid)
                 rows["snapshot_id"].append(snapshot_id)
                 rows["checkpoint_epoch"].append(epoch)
                 rows["suite_name"].append(self.suite.expectation_suite_name)
-                rows["expectation_type"].append(evr.expectation_config.expectation_type)
+                rows["expectation_type"].append(etype)
                 rows["domain"].append(
                     kw.get("column") or ",".join(kw.get("column_list", [])) or "")
                 rows["success"].append(bool(evr.success))
-                rows["element_count"].append(int(evr.result.get("element_count") or 0))
+                rows["element_count"].append(element)
+                rows["nonnull_count"].append(element - missing)
                 rows["unexpected_count"].append(int(evr.result.get("unexpected_count") or 0))
+                rows["mostly"].append(
+                    float(kw.get("mostly", 1.0)) if count_based else None)
                 rows["unexpected_sample_json"].append(
                     json.dumps(evr.result.get("partial_unexpected_list", []), default=str))
             table = pa.table(rows)
@@ -141,13 +159,38 @@ class Checkpoint:
         return spark.read.parquet(os.path.join(self.store_path, "verdicts"))
 
     def rollup(self, spark) -> DataFrame:
-        """Suite-level rollup over committed per-group verdicts."""
+        """Suite-level rollup over committed per-group verdicts.
+
+        For count-based expectations the GLOBAL verdict is recomputed from the
+        summed counts with the expectation's `mostly` threshold (AND-of-groups
+        is stricter than the global semantics — a suite can pass globally while
+        one group dips under `mostly`). Aggregate/bound expectations keep
+        AND-of-groups (`all_groups_success`); their global value is not
+        derivable from per-group verdicts."""
+        from .results import mostly_success
         v = self.verdicts(spark)
-        return (v.groupBy("expectation_type", "domain")
-                .agg(F.min(F.col("success").cast("int")).cast("boolean").alias("success"),
-                     F.sum("element_count").alias("element_count"),
-                     F.sum("unexpected_count").alias("unexpected_count"),
-                     F.count(F.lit(1)).alias("n_groups")))
+        agg = (v.groupBy("expectation_type", "domain")
+               .agg(F.min(F.col("success").cast("int")).cast("boolean").alias("all_groups_success"),
+                    F.sum("element_count").alias("element_count"),
+                    F.sum("nonnull_count").alias("nonnull_count"),
+                    F.sum("unexpected_count").alias("unexpected_count"),
+                    F.first("mostly").alias("mostly"),
+                    F.count(F.lit(1)).alias("n_groups")).collect())
+        rows = []
+        for r in agg:
+            if r["mostly"] is not None:
+                success = mostly_success(
+                    int(r["element_count"]), int(r["nonnull_count"]),
+                    int(r["unexpected_count"]), float(r["mostly"]))
+            else:
+                success = bool(r["all_groups_success"])
+            rows.append((r["expectation_type"], r["domain"], bool(success),
+                         bool(r["all_groups_success"]), int(r["element_count"]),
+                         int(r["unexpected_count"]), int(r["n_groups"])))
+        return spark.createDataFrame(
+            rows, "expectation_type string, domain string, success boolean, "
+                  "all_groups_success boolean, element_count bigint, "
+                  "unexpected_count bigint, n_groups bigint")
 
 
 def run_checkpoint(df: DataFrame, suite: ExpectationSuite, store_path: str, *,

@@ -172,3 +172,22 @@ class TestCheckpoint:
         out2 = cp.run(clips)  # everything committed — nothing re-validated
         assert out2["groups_validated_this_run"] == 0
         assert cp.verdicts(spark).count() == 3 * 2
+
+    def test_rollup_recomputes_global_mostly(self, spark, clips, tmp_path):
+        """A mostly-expectation can pass globally while single groups dip
+        below the threshold — the rollup must use summed counts, not
+        AND-of-groups."""
+        store = str(tmp_path / "store4")
+        n = clips.count()
+        nulls = clips.where("clip_id IS NULL").count()
+        global_ratio = (n - nulls) / n
+        # pick mostly between the global ratio and the worst group's ratio
+        suite = ExpectationSuite("m").add(
+            "expect_column_values_to_not_be_null", column="clip_id",
+            mostly=round(global_ratio - 1e-6, 6))
+        cp = Checkpoint(store, suite, group_key="sr_hz", n_groups=5)
+        cp.run(clips)
+        roll = cp.rollup(spark).collect()[0]
+        assert roll["success"]  # global verdict from summed counts
+        direct = validate(clips, suite)
+        assert roll["success"] == direct.results[0].success
