@@ -483,6 +483,120 @@ UNION ALL SELECT 'flag_R', count(*) FROM lineitem WHERE l_returnflag = 'R'
 """
 
 
+def q_ge_like(spark, sf_dir):
+    """column_values.match_like_pattern — SQL-only in the reference
+    (suppressed for spark, self_check/util.py:1310-1313); trivial on Spark."""
+    p = _t(spark, sf_dir, "part")
+    return _counts_df(spark, _one(
+        spark, p, "expect_column_values_to_match_like_pattern",
+        column="p_type", like_pattern="%TIN", mostly=0.05))
+
+
+_SQL_LIKE = """
+SELECT count(*) AS element_count,
+       sum(CASE WHEN p_type IS NOT NULL AND p_type NOT LIKE '%TIN'
+                THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(p_type)
+        - sum(CASE WHEN p_type IS NOT NULL AND p_type NOT LIKE '%TIN'
+                   THEN 1 ELSE 0 END)) >= 0.05 * count(p_type) AS success
+FROM part
+"""
+
+
+def q_ge_strftime(spark, sf_dir):
+    """column_values.match_strftime_format — reference uses a per-row
+    strptime UDF (column_values_match_strftime_format.py:33-57); ours is
+    JVM-side try_to_timestamp. Corruption injected deterministically."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_str", F.when(F.col("l_orderkey") % 97 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("l_shipdate", "yyyy-MM-dd")))
+    return _counts_df(spark, _one(
+        spark, li, "expect_column_values_to_match_strftime_format",
+        column="ship_str", strftime_format="%Y-%m-%d", mostly=0.5))
+
+
+_SQL_STRFTIME = """
+WITH d AS (SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'not-a-date'
+                       ELSE strftime(l_shipdate, '%Y-%m-%d') END AS s FROM lineitem)
+SELECT count(*) AS element_count,
+       sum(CASE WHEN try_strptime(s, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS unexpected_count,
+       (count(s) - sum(CASE WHEN try_strptime(s, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END))
+         >= 0.5 * count(s) AS success
+FROM d
+"""
+
+
+def q_ge_distinct_set(spark, sf_dir):
+    """column.distinct_values vs a declared set (equal-set mode)."""
+    li = _t(spark, sf_dir, "lineitem")
+    evr = _one(spark, li, "expect_column_distinct_values_to_equal_set",
+               column="l_linestatus", value_set=["O", "F"])
+    return spark.createDataFrame(
+        [(v, bool(evr.success)) for v in evr.result["observed_value"]],
+        "value string, success boolean")
+
+
+_SQL_DISTINCT_SET = """
+SELECT DISTINCT l_linestatus AS value,
+       (SELECT count(DISTINCT l_linestatus) = 2
+               AND sum(CASE WHEN l_linestatus IN ('O','F') THEN 0 ELSE 1 END) = 0
+        FROM lineitem WHERE l_linestatus IS NOT NULL) AS success
+FROM lineitem WHERE l_linestatus IS NOT NULL
+"""
+
+
+def q_ge_cramers(spark, sf_dir):
+    """Cramér's phi of (l_returnflag, l_linestatus) — reference is
+    pandas-only (crosstab + chi2); ours: distributed contingency groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    evr = _one(spark, li, "expect_column_pair_cramers_phi_value_to_be_less_than",
+               column_A="l_returnflag", column_B="l_linestatus", threshold=1.01)
+    return spark.createDataFrame(
+        [(_r(float(evr.result["observed_value"]), 6), bool(evr.success))],
+        "phi double, success boolean")
+
+
+_SQL_CRAMERS = """
+WITH c AS (SELECT l_returnflag a, l_linestatus b, count(*) n FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1,2),
+rt AS (SELECT a, sum(n) ra FROM c GROUP BY 1),
+ct AS (SELECT b, sum(n) cb FROM c GROUP BY 1),
+tot AS (SELECT sum(n) t FROM c),
+e AS (SELECT rt.a, ct.b, 1.0*rt.ra*ct.cb/tot.t AS ex,
+             coalesce((SELECT n FROM c WHERE c.a=rt.a AND c.b=ct.b),0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN tot),
+chi AS (SELECT sum((o-ex)*(o-ex)/ex) chi2 FROM e),
+k AS (SELECT least((SELECT count(*) FROM rt), (SELECT count(*) FROM ct)) kk)
+SELECT round(sqrt(chi2 / (tot.t * (k.kk - 1))), 6) AS phi,
+       sqrt(chi2 / (tot.t * (k.kk - 1))) < 1.01 AS success
+FROM chi, tot, k
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-bucketed (IVF-style)."""
+    from sparkcheck.pipeline.dedup import embedding_near_dup_pairs
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, "vec_id", "embedding", "label",
+                                     threshold=0.8)
+    return (pairs
+            .withColumn("bucket", F.least((F.col("cos") * 20).cast("int"), F.lit(19)))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+_SQL_DEDUP_EMBEDDING = """
+WITH p AS (
+  SELECT a.vec_id ia, b.vec_id ib,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT CAST(least(CAST(cos*20 AS INT), 19) AS INT) AS bucket, count(*) AS cnt
+FROM p WHERE cos >= 0.8 GROUP BY 1
+"""
+
+
 # --------------------------------------------------- drift (KL / KS / PSI)
 
 _DRIFT_BINS = [0.0, 100_000.0, 200_000.0, 300_000.0, 450_000.0, 700_000.0]
@@ -870,7 +984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ge_increasing": q_ge_increasing,
         "ge_json": q_ge_json,
         "ge_rowcount": q_ge_rowcount,
+        "ge_like": q_ge_like,
+        "ge_strftime": q_ge_strftime,
+        "ge_distinct_set": q_ge_distinct_set,
+        "ge_cramers": q_ge_cramers,
         "ge_drift": q_ge_drift,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -905,7 +1024,12 @@ def oracle_sql() -> dict[str, str]:
         "ge_increasing": _SQL_INCREASING,
         "ge_json": _SQL_JSON,
         "ge_rowcount": _SQL_ROWCOUNT,
+        "ge_like": _SQL_LIKE,
+        "ge_strftime": _SQL_STRFTIME,
+        "ge_distinct_set": _SQL_DISTINCT_SET,
+        "ge_cramers": _SQL_CRAMERS,
         "ge_drift": _drift_sql(),
+        "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,

@@ -112,6 +112,33 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             bucket_col: str, threshold: float = 0.8,
+                             round_digits: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by ``bucket_col``
+    (IVF-style: only same-bucket pairs are scored — at 100 TB the bucket is a
+    coarse-quantizer cell, here any precomputed cluster/label column).
+    Cosine via native zip_with/aggregate — no Python UDF. Returns
+    (id_a, id_b, cos) with cos rounded for engine-portable comparisons."""
+    def unit(c):
+        norm = F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+        return (c, norm)
+
+    a = df.select(F.col(bucket_col).alias("__b"), F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("__va"))
+    b = df.select(F.col(bucket_col).alias("__b"), F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("__va", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    nb = F.sqrt(F.aggregate("__vb", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    return (pairs.withColumn("cos", F.round(dot / (na * nb), round_digits))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
 _HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
 
