@@ -927,6 +927,47 @@ def q_audio_suite_partitions(spark, sf_dir):
               "success boolean, unexpected_count bigint")
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal feature extraction (decode -> rms/peak/clipping/header)
+    over deterministic synthetic clips (seed=42) — binary decode is not
+    SQL-expressible -> rows-only check."""
+    from sparkcheck.io import generate_audio_clips
+    from sparkcheck.pipeline.audio_features import extract_audio_features
+    clips = generate_audio_clips(spark, 2000, clean=True, num_partitions=8)
+    feats = extract_audio_features(clips)
+    return (feats.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("decode_ok").cast("int")).cast("bigint").alias("decoded"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.max("peak"), 4).alias("max_peak"),
+        F.sum("n_samples").cast("bigint").alias("total_samples")))
+
+
+def q_audio_header_check(spark, sf_dir):
+    """Header-vs-metadata consistency expectation (RIFF sr == sr_hz column)
+    with closed-form violation sites — rows-only check."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    dirty = generate_audio_clips(spark, 4000, num_partitions=8)
+    r = validate(dirty, ExpectationSuite("h").add(
+        "expect_audio_header_to_match_metadata")).results[0]
+    return spark.createDataFrame(
+        [(int(r.result["element_count"]), int(r.result["unexpected_count"]),
+          bool(r.success))],
+        "element_count bigint, unexpected_count bigint, success boolean")
+
+
+def q_audio_frame_rms(spark, sf_dir):
+    """Frame-sampled RMS (video-frame-sampling analogue) — rows-only check."""
+    from sparkcheck.io import generate_audio_clips
+    from sparkcheck.pipeline.audio_features import frame_rms
+    clips = generate_audio_clips(spark, 500, clean=True, num_partitions=4)
+    fr = frame_rms(clips, frame_ms=25, hop_ms=10, max_frames=8)
+    return fr.agg(F.count(F.lit(1)).alias("n_frames"),
+                  F.round(F.avg("rms"), 4).alias("avg_rms"),
+                  F.count_distinct("clip_id").alias("n_clips"))
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -1001,6 +1042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "audio_snr_invariant": q_audio_snr,
         "audio_suite_partitions": q_audio_suite_partitions,
+        "audio_features": q_audio_features,
+        "audio_header_check": q_audio_header_check,
+        "audio_frame_rms": q_audio_frame_rms,
     }
 
 

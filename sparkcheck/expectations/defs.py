@@ -322,3 +322,8 @@ _reg(ExpectationSpec(
 _reg(ExpectationSpec(
     "expect_audio_snr_vs_reference_to_be_above", "audio",
     extra={"handler": "snr"}, defaults={**_MOSTLY, "min_snr_db": 30.0}))
+# header-vs-metadata consistency: decoded RIFF header sample rate must equal
+# the sr_hz metadata column (ours — the reference has no binary operators)
+_reg(ExpectationSpec(
+    "expect_audio_header_to_match_metadata", "audio",
+    extra={"handler": "header"}, defaults=dict(_MOSTLY)))

@@ -235,52 +235,198 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
     unexpected = rows with non-null bytes whose reference is missing OR whose
     decoded-PCM SNR < min_snr_db.
 
-    One decode pass total: the join+UDF output is projected down to
-    (key, flags, snr) — a few bytes/row, no binary — and persisted, so the
-    element/nonnull counts, the unexpected count, AND the violation samples
-    all come from that single expensive pass. Assumes the reference table has
-    unique join keys (it is the golden twin). The fused suite pass never
-    touches the binary column (planner skips slots for audio items).
+    Default path (``hash_prescreen=True``): shuffle HASHES, not audio. Both
+    sides reduce JVM-side to (key, md5(bytes)) — a column-pruned scan, no
+    python — and join on that. Bit-identical payloads have SNR = +inf by
+    definition (noise energy is exactly 0), so only hash-mismatched pairs
+    (plus missing-reference rows) need the expensive payload join + decode;
+    in a validation setting those are the rare violations. At 10^12 rows this
+    moves the shuffle from ~100 TB of audio to ~10^12 hashes. (xxhash64+crc32, 96 combined
+    bits — collision odds ~2^-96 per pair, a documented tradeoff; byte-different encodings of
+    the same audio fall through to the decode path and score correctly.)
+
+    ``hash_prescreen=False`` forces the full decode compare over every pair
+    (snr_scores) — for re-encoded corpora where bytes always differ.
+
+    Counts AND violation samples come from persisted projections of the
+    cheap passes, so the binary column never enters the fused suite pass.
+    Assumes the reference table has unique join keys (the golden twin).
     """
     from pyspark import StorageLevel
 
     kw = item.kwargs
     key = kw.get("join_key", "clip_id")
     ref = run.tables[kw["reference_table"]]
-    scored = snr_scores(
-        dfd, ref,
-        join_key=key,
-        bytes_col=kw.get("bytes_column", "bytes"),
-        codec_col=kw.get("codec_column", "codec"),
-        broadcast_reference=kw.get("broadcast_reference"),
-        strict_codecs=kw.get("strict_codecs", False),
-        num_partitions=kw.get("num_partitions"))
     min_snr = float(kw.get("min_snr_db", 30.0))
-    nn = F.col("__nn")
-    bad = nn & (~F.col("__has_ref") | (F.col("__snr_db") < min_snr))
-    proj = scored.select(
-        F.col(key).alias("__k"), nn.alias("__nn2"), bad.alias("__bad"),
-        F.when(nn & F.col("__has_ref"), F.col("__snr_db")).alias("__snr"))
+    bytes_col = kw.get("bytes_column", "bytes")
+    codec_col = kw.get("codec_column", "codec")
+
+    if not kw.get("hash_prescreen", True):
+        scored = snr_scores(
+            dfd, ref, join_key=key, bytes_col=bytes_col, codec_col=codec_col,
+            broadcast_reference=kw.get("broadcast_reference"),
+            strict_codecs=kw.get("strict_codecs", False),
+            num_partitions=kw.get("num_partitions"))
+        nn = F.col("__nn")
+        bad = nn & (~F.col("__has_ref") | (F.col("__snr_db") < min_snr))
+        proj = scored.select(
+            F.col(key).alias("__k"), nn.alias("__nn2"), bad.alias("__bad"),
+            F.when(nn & F.col("__has_ref"), F.col("__snr_db")).alias("__snr"))
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            agg = proj.agg(
+                F.count(F.lit(1)).alias("element"),
+                F.coalesce(F.sum(F.when(F.col("__nn2"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),
+                F.coalesce(F.sum(F.when(F.col("__bad"), 1).otherwise(0)), F.lit(0)).alias("u"),
+                F.avg("__snr").alias("mean_snr")).first()
+            unexpected, element, nonnull = int(agg["u"]), int(agg["element"]), int(agg["nonnull"])
+            samples: list = []
+            if unexpected and run.rf["result_format"] != "BOOLEAN_ONLY":
+                samples = [r["__k"] for r in proj.filter("__bad").select("__k")
+                           .limit(run._sample_limit()).collect()]
+        finally:
+            proj.unpersist()
+        evr = run._map_evr(item, element, nonnull, unexpected, samples)
+        if evr.result:
+            evr.result["details"] = {
+                "mean_snr_db": _finite(agg["mean_snr"]), "min_snr_db": min_snr,
+                "strategy": "full_decode"}
+        return evr
+
+    # --- hash-prescreen path (default) ---
+    # xxhash64 + crc32 (96 combined bits): both are several-x faster than md5
+    # on binary columns and stay JVM-side. xxhash64 hashes NULL input to the
+    # seed (it never returns null), so null payloads must be masked explicitly
+    # to keep the nonnull/missing semantics of the decode path.
+    def _hashes(src, h1, h2):
+        nn = F.col(bytes_col).isNotNull()
+        return src.select(
+            F.col(key).alias("__k"),
+            F.when(nn, F.xxhash64(F.col(bytes_col))).alias(h1),
+            F.when(nn, F.crc32(F.col(bytes_col))).alias(h2))
+
+    h_l = _hashes(dfd, "__h1", "__h2")
+    h_r = _hashes(ref, "__rh1", "__rh2")
+    hj = h_l.join(h_r, "__k", "left").select(
+        "__k", F.col("__h1").isNotNull().alias("__nn"),
+        F.col("__rh1").isNotNull().alias("__has_ref"),
+        ((F.col("__h1") == F.col("__rh1"))
+         & (F.col("__h2") == F.col("__rh2"))).alias("__same"))
+    hj = hj.persist(StorageLevel.MEMORY_AND_DISK)
+    n_mismatch = 0
+    mean_mismatch_snr = None
+    try:
+        agg = hj.agg(
+            F.count(F.lit(1)).alias("element"),
+            F.coalesce(F.sum(F.when(F.col("__nn"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),
+            F.coalesce(F.sum(F.when(F.col("__nn") & ~F.col("__has_ref"), 1).otherwise(0)), F.lit(0)).alias("no_ref"),
+            F.coalesce(F.sum(F.when(
+                F.col("__nn") & F.col("__has_ref") & ~F.coalesce(F.col("__same"), F.lit(False)),
+                1).otherwise(0)), F.lit(0)).alias("mismatch")).first()
+        element, nonnull = int(agg["element"]), int(agg["nonnull"])
+        no_ref, n_mismatch = int(agg["no_ref"]), int(agg["mismatch"])
+
+        bad_snr = 0
+        snr_bad_keys: list = []
+        if n_mismatch:
+            mkeys = (hj.filter(F.col("__nn") & F.col("__has_ref")
+                               & ~F.coalesce(F.col("__same"), F.lit(False)))
+                     .select(F.col("__k").alias(key)))
+            if n_mismatch <= int(kw.get("max_pushdown_keys", 100_000)):
+                # small violation set: materialize the keys and filter with
+                # isin — the predicate reaches the parquet scan (PushedFilters)
+                # so row-group stats skip almost all binary data, instead of
+                # two full-table rescans feeding a semi-join
+                keys = [r[key] for r in mkeys.collect()]
+                sub = dfd.filter(F.col(key).isin(keys))
+                sub_ref = ref.filter(F.col(key).isin(keys))
+            else:
+                # decode only the mismatched pairs; AQE broadcasts the (small)
+                # key set into both semi-joins
+                sub = dfd.join(mkeys, key, "left_semi")
+                sub_ref = ref.join(mkeys, key, "left_semi")
+            scored = snr_scores(
+                sub, sub_ref, join_key=key, bytes_col=bytes_col,
+                codec_col=codec_col,
+                strict_codecs=kw.get("strict_codecs", False),
+                num_partitions=kw.get("num_partitions"))
+            proj = scored.select(F.col(key).alias("__k"),
+                                 (F.col("__snr_db") < min_snr).alias("__bad"),
+                                 "__snr_db")
+            proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                a2 = proj.agg(
+                    F.coalesce(F.sum(F.when(F.col("__bad"), 1).otherwise(0)), F.lit(0)).alias("u"),
+                    F.avg("__snr_db").alias("mean_snr")).first()
+                bad_snr = int(a2["u"])
+                mean_mismatch_snr = a2["mean_snr"]
+                if bad_snr and run.rf["result_format"] != "BOOLEAN_ONLY":
+                    snr_bad_keys = [r["__k"] for r in proj.filter("__bad").select("__k")
+                                    .limit(run._sample_limit()).collect()]
+            finally:
+                proj.unpersist()
+
+        unexpected = no_ref + bad_snr
+        samples = list(snr_bad_keys)
+        if unexpected and run.rf["result_format"] != "BOOLEAN_ONLY" and len(samples) < run._sample_limit():
+            k_more = run._sample_limit() - len(samples)
+            samples += [r["__k"] for r in
+                        hj.filter(F.col("__nn") & ~F.col("__has_ref"))
+                        .select("__k").limit(k_more).collect()]
+    finally:
+        hj.unpersist()
+    evr = run._map_evr(item, element, nonnull, unexpected, samples)
+    if evr.result:
+        evr.result["details"] = {
+            "min_snr_db": min_snr, "strategy": "hash_prescreen",
+            "hash_mismatch_count": n_mismatch,
+            "missing_reference_count": no_ref,
+            "mean_mismatch_snr_db": _finite(mean_mismatch_snr)}
+    return evr
+
+
+
+def run_header_item(run, item, dfd: DataFrame, grow: dict):
+    """Engine hook: expect_audio_header_to_match_metadata — RIFF header
+    sample rate must equal the sr_hz metadata column. Header-only parse (no
+    PCM decode), single mapInPandas scan, no join."""
+    kw = item.kwargs
+    key = kw.get("join_key", "clip_id")
+    bytes_col = kw.get("bytes_column", "bytes")
+    sr_col = kw.get("sr_column", "sr_hz")
+
+    def check(batches):
+        from ..pipeline.audio_features import wav_header_sr
+        for pdf in batches:
+            n = len(pdf)
+            nn = pdf[bytes_col].notna()
+            bad = np.zeros(n, dtype=bool)
+            for i in range(n):
+                if not nn.iloc[i]:
+                    continue
+                hdr = wav_header_sr(bytes(pdf[bytes_col].iloc[i]))
+                meta = pdf[sr_col].iloc[i]
+                bad[i] = hdr is None or meta is None or int(hdr) != int(meta)
+            yield pd.DataFrame({"__k": pdf[key], "__nn": nn, "__bad": bad})
+
+    key_type = dfd.schema[key].dataType.simpleString()
+    proj = (dfd.select(key, bytes_col, sr_col)
+            .mapInPandas(check, schema=f"__k {key_type}, __nn boolean, __bad boolean"))
+    from pyspark import StorageLevel
     proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         agg = proj.agg(
             F.count(F.lit(1)).alias("element"),
-            F.coalesce(F.sum(F.when(F.col("__nn2"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),
-            F.coalesce(F.sum(F.when(F.col("__bad"), 1).otherwise(0)), F.lit(0)).alias("u"),
-            F.avg("__snr").alias("mean_snr")).first()
-        unexpected = int(agg["u"])
-        element = int(agg["element"])
-        nonnull = int(agg["nonnull"])
+            F.coalesce(F.sum(F.when(F.col("__nn"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),
+            F.coalesce(F.sum(F.when(F.col("__bad"), 1).otherwise(0)), F.lit(0)).alias("u")).first()
+        unexpected, element, nonnull = int(agg["u"]), int(agg["element"]), int(agg["nonnull"])
         samples: list = []
         if unexpected and run.rf["result_format"] != "BOOLEAN_ONLY":
             samples = [r["__k"] for r in proj.filter("__bad").select("__k")
                        .limit(run._sample_limit()).collect()]
     finally:
         proj.unpersist()
-    evr = run._map_evr(item, element, nonnull, unexpected, samples)
-    if evr.result:
-        evr.result["details"] = {"mean_snr_db": _finite(agg["mean_snr"]), "min_snr_db": min_snr}
-    return evr
+    return run._map_evr(item, element, nonnull, unexpected, samples)
 
 
 def _finite(v):

@@ -261,6 +261,8 @@ class ValidationRun:
             return self._run_referential(item, dfd, grow)
         if handler_kind == "audio":
             from .metrics import audio as audio_metrics
+            if item.spec.extra.get("handler") == "header":
+                return audio_metrics.run_header_item(self, item, dfd, grow)
             return audio_metrics.run_snr_item(self, item, dfd, grow)
         raise ValueError(handler_kind)
 

@@ -111,7 +111,8 @@ class TestAudioInvariants:
         corrupt = (i % 1000 == 5) & ~bytes_null
         expected_unexpected = int((~bytes_null & (corrupt | id_missing)).sum())
         assert r.result["unexpected_count"] == expected_unexpected
-        assert r.result["details"]["mean_snr_db"] is None or r.result["details"]["mean_snr_db"] > 0
+        snr_detail = r.result["details"].get("mean_snr_db", r.result["details"].get("mean_mismatch_snr_db"))
+        assert snr_detail is None or snr_detail < 30
 
     def test_transcript_pair_equality_via_join(self, spark):
         n = 5_000
@@ -191,3 +192,75 @@ class TestCheckpoint:
         assert roll["success"]  # global verdict from summed counts
         direct = validate(clips, suite)
         assert roll["success"] == direct.results[0].success
+
+
+class TestAudioFeatures:
+    def test_extract_features_sine_rms(self, spark):
+        from sparkcheck.pipeline.audio_features import extract_audio_features
+        clips = generate_audio_clips(spark, 500, clean=True, num_partitions=2)
+        feats = extract_audio_features(clips).collect()
+        assert len(feats) == 500
+        by_id = {r["clip_id"]: r for r in feats}
+        r0 = by_id["clip-0000000000"]
+        # amplitude-0.5 sine: rms ~ 0.5/sqrt(2), peak ~ 0.5, no clipping
+        assert abs(r0["rms"] - 0.5 / 2 ** 0.5) < 0.01
+        assert abs(r0["peak"] - 0.5) < 0.01
+        assert r0["clipping_ratio"] == 0.0
+        assert r0["decode_ok"]
+        # header sr equals the metadata column for clean clips
+        metas = {r["clip_id"]: r["sr_hz"] for r in clips.select("clip_id", "sr_hz").collect()}
+        for cid, row in by_id.items():
+            assert row["header_sr"] == metas[cid]
+            assert abs(row["header_dur_ms"] - 1000.0 * row["n_samples"] / row["header_sr"]) < 1e-6
+
+    def test_frame_rms(self, spark):
+        from sparkcheck.pipeline.audio_features import frame_rms
+        clips = generate_audio_clips(spark, 50, clean=True, num_partitions=2)
+        fr = frame_rms(clips, frame_ms=25, hop_ms=10, max_frames=5)
+        rows = fr.collect()
+        assert len(rows) > 0
+        per_clip = {}
+        for r in rows:
+            per_clip.setdefault(r["clip_id"], []).append(r)
+            assert 0.0 <= r["rms"] <= 1.0
+        assert all(len(v) <= 5 for v in per_clip.values())
+        # frames are indexed 0..k with 10ms hops
+        one = sorted(per_clip[rows[0]["clip_id"]], key=lambda r: r["frame_idx"])
+        assert [r["start_ms"] for r in one] == [10 * i for i in range(len(one))]
+
+    def test_header_match_expectation_closed_form(self, spark):
+        import numpy as np
+        from sparkcheck.io import (BADSR_MOD, BADSR_REM, NULLBYTES_MOD, NULLBYTES_REM)
+        n = 4000
+        dirty = generate_audio_clips(spark, n, num_partitions=4)
+        suite = ExpectationSuite("hdr").add(
+            "expect_audio_header_to_match_metadata")
+        r = validate(dirty, suite).results[0]
+        i = np.arange(n)
+        want = int(((i % BADSR_MOD == BADSR_REM)
+                    & ~(i % NULLBYTES_MOD == NULLBYTES_REM)).sum())
+        assert r.result["unexpected_count"] == want
+        assert r.result["element_count"] == n
+        # clean twin: zero mismatches
+        clean = generate_audio_clips(spark, 1000, clean=True, num_partitions=2)
+        r2 = validate(clean, suite).results[0]
+        assert r2.result["unexpected_count"] == 0 and r2.success
+
+    def test_snr_hash_prescreen_matches_full_decode(self, spark):
+        from sparkcheck.io import generate_audio_clips
+        dirty = generate_audio_clips(spark, 3000, num_partitions=4)
+        clean = generate_audio_clips(spark, 3000, clean=True, num_partitions=4)
+        def run(prescreen):
+            suite = ExpectationSuite("snr").add(
+                "expect_audio_snr_vs_reference_to_be_above",
+                reference_table="ref", min_snr_db=30.0,
+                hash_prescreen=prescreen)
+            return validate(dirty, suite, tables={"ref": clean}).results[0]
+        a, b = run(True), run(False)
+        assert a.result["unexpected_count"] == b.result["unexpected_count"]
+        assert a.result["element_count"] == b.result["element_count"]
+        assert a.success == b.success
+        assert a.result["details"]["strategy"] == "hash_prescreen"
+        assert b.result["details"]["strategy"] == "full_decode"
+        assert len(a.result["partial_unexpected_list"]) > 0 \
+            or a.result["unexpected_count"] == 0
