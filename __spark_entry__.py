@@ -573,6 +573,29 @@ FROM chi, tot, k
 """
 
 
+def q_ge_splitters(spark, sf_dir):
+    """Batch splitters/samplers (SURVEY §2.1): mod / divided-integer /
+    hashed (built-in sha2 instead of the reference's python hashlib UDF)."""
+    from sparkcheck import splitters as S
+    o = _t(spark, sf_dir, "orders")
+    rows = [
+        ("mod8_0", o.filter(S.split_on_mod_integer("o_orderkey", 8, 0)).count()),
+        ("div1000_3", o.filter(S.split_on_divided_integer("o_orderkey", 1000, 3)).count()),
+        ("hash_last_f", o.filter(S.sample_using_hash("o_orderkey", 1, "f")).count()),
+        ("status_list", o.filter(S.sample_using_a_list("o_orderstatus", ["F", "P"])).count()),
+    ]
+    return spark.createDataFrame(rows, "split string, cnt bigint")
+
+
+_SQL_SPLITTERS = """
+SELECT 'mod8_0' AS split, count(*) AS cnt FROM orders WHERE o_orderkey % 8 = 0
+UNION ALL SELECT 'div1000_3', count(*) FROM orders WHERE floor(o_orderkey / 1000) = 3
+UNION ALL SELECT 'hash_last_f', count(*) FROM orders
+  WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), -1, 1) = 'f'
+UNION ALL SELECT 'status_list', count(*) FROM orders WHERE o_orderstatus IN ('F','P')
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-bucketed (IVF-style)."""
     from sparkcheck.pipeline.dedup import embedding_near_dup_pairs
@@ -1029,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ge_strftime": q_ge_strftime,
         "ge_distinct_set": q_ge_distinct_set,
         "ge_cramers": q_ge_cramers,
+        "ge_splitters": q_ge_splitters,
         "ge_drift": q_ge_drift,
         "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
@@ -1072,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "ge_strftime": _SQL_STRFTIME,
         "ge_distinct_set": _SQL_DISTINCT_SET,
         "ge_cramers": _SQL_CRAMERS,
+        "ge_splitters": _SQL_SPLITTERS,
         "ge_drift": _drift_sql(),
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "dedup_exact": _SQL_DEDUP_EXACT,

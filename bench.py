@@ -46,6 +46,9 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batches by bytes, not rows: 10k-row batches of binary
+        # payloads anti-scale across concurrent python workers
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARKCHECK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

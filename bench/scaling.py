@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence for the north rule: the same validation job on
-the same input at two parallelism levels — N=2 vs 4N=8 cores (the sandbox
-stand-in for N and 4N executors; 8 << nproc=32 so neither run saturates the
-single box's shared memory bandwidth — on a real cluster every 4N executor
-brings its own memory bandwidth and storage I/O, which one machine cannot
-emulate at high core counts: the plain parquet scan of the binary column
-tops out at ~1.9x from 4->16 cores on this box regardless of algorithm). Reports throughput at both plus
+the same input at two parallelism levels — N=4 vs 4N=16 cores (the sandbox
+stand-in for N and 4N executors; 16 < nproc=32 leaves headroom so the 4N run
+is not distorted by whole-box saturation). Single-box caveat measured and
+documented in BASELINE.md: a plain parquet scan of the 64 KB binary column
+tops out at ~1.9x from 4->16 cores (shared memory bandwidth), which bounds
+any binary-reading stage on ONE machine — a real 4N-executor cluster brings
+4x memory bandwidth and storage I/O with it. Reports throughput at both plus
 efficiency = (thr_4N / thr_N) / 4, and asserts the two runs produce IDENTICAL
 global verdicts (BASELINE.md: verdicts must agree across cluster sizes).
 
@@ -37,12 +38,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_META = int(os.environ.get("SPARKCHECK_SCALE_CLIPS", "24000000"))
+N_META = int(os.environ.get("SPARKCHECK_SCALE_CLIPS", "48000000"))
 N_SNR = int(os.environ.get("SPARKCHECK_SCALE_SNR_CLIPS", "150000"))
 SNR_MS = int(os.environ.get("SPARKCHECK_SCALE_SNR_MS", "2000"))  # realistic ~2s clips: decode-dominated
 WORK = os.environ.get("SPARKCHECK_BENCH_DIR", "/tmp/sparkcheck_bench")
-CPU_LO = int(os.environ.get("SPARKCHECK_SCALE_N", "2"))
-CPU_HI = int(os.environ.get("SPARKCHECK_SCALE_4N", "8"))
+CPU_LO = int(os.environ.get("SPARKCHECK_SCALE_N", "4"))
+CPU_HI = int(os.environ.get("SPARKCHECK_SCALE_4N", "16"))
 
 
 def build_spark(cpus: int):
