@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--group-key", required=True,
                     help="stable column hashed into commit groups (e.g. clip_id)")
     ap.add_argument("--n-groups", type=int, default=64)
+    ap.add_argument("--group-mode", default="hash", choices=["hash", "column"],
+                    help="'column': one commit group per distinct value of "
+                         "--group-key (prunes partitioned layouts); 'hash': "
+                         "deterministic xxhash64 buckets")
     ap.add_argument("--reference", action="append", default=[],
                     help="name=path of a reference table (repeatable)")
     ap.add_argument("--snapshot-id", default="snap-0")
@@ -70,7 +74,8 @@ def main() -> int:
         tables[name] = spark.read.parquet(path)
 
     cp = Checkpoint(args.store, suite, group_key=args.group_key,
-                    n_groups=args.n_groups, tables=tables,
+                    n_groups=args.n_groups, group_mode=args.group_mode,
+                    tables=tables,
                     result_format=args.result_format,
                     unique_strategy=args.unique_strategy)
     stats = cp.run(df, snapshot_id=snapshot_id)

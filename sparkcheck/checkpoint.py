@@ -54,14 +54,18 @@ class Checkpoint:
         *,
         group_key: str,
         n_groups: int = 8,
+        group_mode: str = "hash",  # 'hash' | 'column'
         tables: dict[str, DataFrame] | None = None,
         result_format: str = "BASIC",
         unique_strategy: str = "exact",
     ) -> None:
+        if group_mode not in ("hash", "column"):
+            raise ValueError(f"unknown group_mode: {group_mode}")
         self.store_path = store_path
         self.suite = suite
         self.group_key = group_key
         self.n_groups = n_groups
+        self.group_mode = group_mode
         self.tables = tables or {}
         self.result_format = result_format
         self.unique_strategy = unique_strategy
@@ -87,21 +91,48 @@ class Checkpoint:
 
     # ----------------------------------------------------------------- run
 
-    def _group_filter(self, gid: int) -> F.Column:
+    def _group_filter(self, gid) -> F.Column:
+        """hash mode: deterministic xxhash64 bucket of the key (uniform, no
+        skew, but every group scan reads the whole table — right for
+        unpartitioned layouts). column mode: gid IS a value of the group
+        column; with a table laid out partitioned by that column (Iceberg
+        partition / parquet partitionBy dir) the filter prunes the scan to
+        exactly that partition's files — the Iceberg per-partition work-list
+        of the north rule."""
+        if self.group_mode == "column":
+            if gid is None:
+                return F.col(self.group_key).isNull()
+            return F.col(self.group_key) == F.lit(gid)
         key = F.coalesce(F.col(self.group_key).cast("string"), F.lit("\x00null"))
         return F.pmod(F.abs(F.xxhash64(key)), F.lit(self.n_groups)) == gid
+
+    def _group_ids(self, df: DataFrame) -> list:
+        if self.group_mode == "column":
+            rows = df.select(self.group_key).distinct().collect()
+            vals = sorted((r[0] for r in rows), key=lambda v: (v is None, str(v)))
+            return vals
+        return list(range(self.n_groups))
+
+    @staticmethod
+    def _group_file(gid) -> str:
+        if isinstance(gid, int):
+            return f"group-{gid}.parquet"
+        import hashlib
+        digest = hashlib.md5(str(gid).encode()).hexdigest()[:12]
+        return f"group-{digest}.parquet"
 
     def run(self, df: DataFrame, *, snapshot_id: str = "snap-0",
             fail_after_groups: int | None = None) -> dict:
         """Validate group-by-group, committing after each. ``fail_after_groups``
         injects a crash for the kill/resume test."""
         manifest = self._load_manifest()
-        committed = set(manifest["committed_groups"])
+        committed = set(map(str, manifest["committed_groups"]))
         epoch = manifest["epoch"] + 1
         done_this_run = 0
         t0 = time.time()
-        for gid in range(self.n_groups):
-            if gid in committed:
+        group_ids = self._group_ids(df)
+        for gid in group_ids:
+            if str(gid) in committed:
                 continue
             if fail_after_groups is not None and done_this_run >= fail_after_groups:
                 raise RuntimeError(f"injected failure after {done_this_run} groups")
@@ -123,7 +154,7 @@ class Checkpoint:
                     count_based = False
                 element = int(evr.result.get("element_count") or 0)
                 missing = int(evr.result.get("missing_count") or 0)
-                rows["group_id"].append(gid)
+                rows["group_id"].append(str(gid))
                 rows["snapshot_id"].append(snapshot_id)
                 rows["checkpoint_epoch"].append(epoch)
                 rows["suite_name"].append(self.suite.expectation_suite_name)
@@ -141,15 +172,16 @@ class Checkpoint:
             table = pa.table(rows)
             # idempotent per-group file: a crashed, uncommitted write is
             # simply overwritten on resume — no dup verdict rows
-            pq.write_table(table, os.path.join(self.store_path, "verdicts", f"group-{gid}.parquet"))
-            committed.add(gid)
+            pq.write_table(table, os.path.join(self.store_path, "verdicts", self._group_file(gid)))
+            committed.add(str(gid))
             manifest = {"committed_groups": sorted(committed), "epoch": epoch,
+                        "group_mode": self.group_mode,
                         "snapshot_id": snapshot_id, "suite": self.suite.expectation_suite_name}
             self._commit(manifest)
             done_this_run += 1
         return {
             "epoch": epoch,
-            "groups_total": self.n_groups,
+            "groups_total": len(group_ids),
             "groups_validated_this_run": done_this_run,
             "groups_committed": len(committed),
             "wall_sec": time.time() - t0,

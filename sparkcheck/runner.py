@@ -62,6 +62,7 @@ class ValidationRun:
         result_format: Any = "BASIC",
         catch_exceptions: bool = True,
         per_partition: bool = False,
+        partition_col: str | None = None,
         unique_strategy: str = "exact",  # 'exact' | 'approx'
     ) -> None:
         self.df = df
@@ -70,10 +71,20 @@ class ValidationRun:
         self.rf.setdefault("unexpected_list_limit", UNEXPECTED_LIST_LIMIT)
         self.catch_exceptions = catch_exceptions
         self.per_partition = per_partition
+        self.partition_col = partition_col
         self.unique_strategy = unique_strategy
         self.partition_verdicts: list[dict] = []
 
     # ------------------------------------------------------------- helpers
+
+    def _pid_expr(self):
+        """Rollup key for per-partition verdicts: a REAL partition column
+        (e.g. the Iceberg partition value — semantically meaningful, stable
+        across parallelism levels) when given, else the physical
+        spark_partition_id (reflects the current scan layout)."""
+        if self.partition_col:
+            return F.col(self.partition_col)
+        return F.spark_partition_id()
 
     def _sample_limit(self) -> int:
         if self.rf["result_format"] == "COMPLETE":
@@ -110,8 +121,10 @@ class ValidationRun:
 
     def _record_partition_verdict(self, pid: int, item: CompiledItem, success: bool,
                                   extra: dict) -> None:
+        # pid is the physical partition id (int) or, with partition_col, the
+        # partition's column value (any scalar type)
         self.partition_verdicts.append({
-            "partition_id": int(pid),
+            "partition_id": int(pid) if isinstance(pid, (int, bool)) else pid,
             "expectation_type": item.config.expectation_type,
             "domain": item.kwargs.get("column")
             or ",".join(item.kwargs.get("column_list", []))
@@ -454,7 +467,7 @@ class ValidationRun:
             conds[f"z{i}"] = cond
             exprs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"z{i}"))
         if self.per_partition:
-            rows = dfd.withColumn("__pid", F.spark_partition_id()).rollup("__pid").agg(*exprs).collect()
+            rows = dfd.withColumn("__pid", self._pid_expr()).rollup("__pid").agg(*exprs).collect()
             global_rows = [r for r in rows if r["__pid"] is None]
             zrow = global_rows[0].asDict() if global_rows else {f"z{i}": 0 for i in range(len(items))}
             for r in rows:
@@ -593,7 +606,7 @@ class ValidationRun:
                 try:
                     if self.per_partition:
                         rows = [r.asDict() for r in
-                                dfd.withColumn("__pid", F.spark_partition_id())
+                                dfd.withColumn("__pid", self._pid_expr())
                                 .rollup("__pid").agg(*agg_list).collect()]
                         global_rows = [r for r in rows if r["__pid"] is None]
                         grow = global_rows[0] if global_rows else {a: None for a in dp.slot_table.exprs}
@@ -696,12 +709,13 @@ def validate(
     result_format: Any = "BASIC",
     catch_exceptions: bool = True,
     per_partition: bool = False,
+    partition_col: str | None = None,
     unique_strategy: str = "exact",
 ) -> ExpectationSuiteValidationResult:
     run = ValidationRun(
         df, tables=tables, result_format=result_format,
         catch_exceptions=catch_exceptions, per_partition=per_partition,
-        unique_strategy=unique_strategy)
+        partition_col=partition_col, unique_strategy=unique_strategy)
     result = run.run(suite)
     if per_partition:
         result.meta["partition_verdicts"] = run.partition_verdicts

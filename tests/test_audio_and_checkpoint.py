@@ -264,3 +264,45 @@ class TestAudioFeatures:
         assert b.result["details"]["strategy"] == "full_decode"
         assert len(a.result["partial_unexpected_list"]) > 0 \
             or a.result["unexpected_count"] == 0
+
+
+class TestColumnModeCheckpoint:
+    def test_column_groups_resume_and_partition_verdicts(self, spark, tmp_path):
+        clips = generate_audio_clips(spark, 6000, with_bytes=False, num_partitions=4)
+        suite = (ExpectationSuite("cg")
+                 .add("expect_column_values_to_not_be_null", column="clip_id", mostly=0.99)
+                 .add("expect_column_values_to_be_between",
+                      column="sr_hz", min_value=8000, max_value=48000, mostly=0.99))
+        store = str(tmp_path / "colstore")
+        cp = Checkpoint(store, suite, group_key="codec", group_mode="column")
+        with pytest.raises(RuntimeError):
+            cp.run(clips, fail_after_groups=2)
+        out = cp.run(clips)  # resume
+        n_codecs = clips.select("codec").distinct().count()
+        assert out["groups_committed"] == n_codecs
+        assert out["groups_validated_this_run"] == n_codecs - 2
+        v = cp.verdicts(spark)
+        assert v.count() == n_codecs * 2
+        # rollup counts equal a direct global validation
+        roll = {r["expectation_type"]: r for r in cp.rollup(spark).collect()}
+        direct = validate(clips, suite)
+        for evr in direct.results:
+            et = evr.expectation_config.expectation_type
+            assert roll[et]["unexpected_count"] == evr.result["unexpected_count"]
+            assert roll[et]["success"] == evr.success
+
+    def test_partition_col_rollup_matches_groupby(self, spark):
+        clips = generate_audio_clips(spark, 5000, with_bytes=False, num_partitions=4)
+        suite = ExpectationSuite("pc").add(
+            "expect_column_values_to_be_between",
+            column="sr_hz", min_value=8000, max_value=48000, mostly=0.99)
+        res = validate(clips, suite, per_partition=True, partition_col="codec")
+        verdicts = {v["partition_id"]: v for v in res.meta["partition_verdicts"]}
+        by_codec = {r["codec"]: r["u"] for r in clips.groupBy("codec").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).sum(
+                __import__("pyspark.sql.functions", fromlist=["F"]).when(
+                    ~__import__("pyspark.sql.functions", fromlist=["F"]).col("sr_hz").between(8000, 48000), 1
+                ).otherwise(0)).alias("u")).collect()}
+        assert set(verdicts) == set(by_codec)
+        for codec, u in by_codec.items():
+            assert verdicts[codec]["unexpected_count"] == int(u or 0)
