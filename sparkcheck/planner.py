@@ -159,7 +159,8 @@ def compile_suite(suite_expectations: list[ExpectationConfiguration]) -> Compile
                     target = (F.struct(*[F.col(c) for c in kw["column_list"]])
                               if spec.extra.get("compound") else F.col(kw["column"]))
                     item.slots["approx_distinct"] = dp.slot_table.add(
-                        f"hll::{kwargs_id(kw)}", F.approx_count_distinct(target))
+                        f"hll::{kwargs_id(kw)}",
+                        F.approx_count_distinct(target, float(kw.get("rsd", 0.05))))
             dp.job_items.append(item)
 
         elif spec.kind == "agg":

@@ -322,17 +322,35 @@ class ValidationRun:
         nonnull = int(grow[item.slots["nonnull"]] or 0)
         approx = int(grow[item.slots["approx_distinct"]] or 0)
 
-        if self.unique_strategy == "approx":
-            # sketch-only verdict: approx distinct ≈ nonnull ⇒ assume unique.
-            # rsd default 5% — tolerance band 3*rsd.
+        rsd = float(kw.get("rsd", 0.05))
+        if self.unique_strategy in ("approx", "auto"):
+            # HLL++ prescreen (north_star): the fused pass already paid for
+            # approx_count_distinct. est_dups beyond the 3*rsd noise band is
+            # REAL duplication; inside the band the sketch cannot distinguish
+            # dups from estimation error.
             est_dups = max(0, nonnull - approx)
-            tolerated = 0.15 * max(nonnull, 1)
-            success = est_dups <= tolerated or mostly_success(
-                element, nonnull, est_dups, kw.get("mostly", 1.0))
-            result = format_map_output(self.rf, success, element, nonnull, est_dups, [])
-            result["details"] = {"strategy": "hll_approx", "approx_distinct": approx}
-            return ExpectationValidationResult(
-                success=bool(success), expectation_config=item.config, result=result)
+            tolerated = 3.0 * rsd * max(nonnull, 1)
+            suspect = est_dups > tolerated
+            if self.unique_strategy == "auto" and suspect:
+                pass  # fall through to the exact groupBy job below
+            else:
+                if self.unique_strategy == "auto":
+                    # clean prescreen: no detectable duplicates at the
+                    # sketch's resolution — skip the exact job entirely
+                    success, reported = True, 0
+                else:  # pure 'approx' verdict
+                    success = (not suspect) or mostly_success(
+                        element, nonnull, est_dups, kw.get("mostly", 1.0))
+                    reported = est_dups if suspect else 0
+                result = format_map_output(
+                    self.rf, bool(success), element, nonnull, reported, [])
+                result["details"] = {
+                    "strategy": ("hll_prescreen_clean"
+                                 if self.unique_strategy == "auto" else "hll_approx"),
+                    "approx_distinct": approx, "rsd": rsd,
+                    "dup_rows_upper_bound": int(tolerated)}
+                return ExpectationValidationResult(
+                    success=bool(success), expectation_config=item.config, result=result)
 
         nn = C.multicolumn_domain_filter({"column_list": cols, "ignore_row_if": "any_value_is_missing"}) \
             if compound else F.col(cols[0]).isNotNull()
@@ -354,7 +372,9 @@ class ValidationRun:
         evr = self._map_evr(item, element, nonnull, unexpected, samples)
         if evr.result:
             evr.result["details"] = {
-                "strategy": "exact_groupby", "approx_distinct": approx,
+                "strategy": ("exact_after_suspect_prescreen"
+                             if self.unique_strategy == "auto" else "exact_groupby"),
+                "approx_distinct": approx,
                 "duplicate_groups": int(stats["dup_groups"])}
         return evr
 
@@ -701,6 +721,35 @@ def _jsonable(v: Any) -> Any:
         return str(v)
 
 
+def resolve_evaluation_parameters(
+    suite: ExpectationSuite, params: dict | None) -> ExpectationSuite:
+    """Substitute ``{"$PARAMETER": "<name>"}`` kwargs with values supplied at
+    validation time — the reference's evaluation-parameter mechanism
+    (core/evaluation_parameters.py:199-304; URN store lookups become plain
+    dict lookups here since cross-suite values live in the results table)."""
+    def subst(v):
+        if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
+            name = v["$PARAMETER"]
+            if params is None or name not in params:
+                raise KeyError(f"evaluation parameter not supplied: {name}")
+            return params[name]
+        if isinstance(v, dict):
+            return {k: subst(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [subst(x) for x in v]
+        return v
+
+    needs = any(
+        isinstance(v, (dict, list)) for c in suite.expectations for v in c.kwargs.values())
+    if not needs:
+        return suite
+    out = ExpectationSuite(suite.expectation_suite_name, meta=dict(suite.meta))
+    for c in suite.expectations:
+        out.expectations.append(ExpectationConfiguration(
+            c.expectation_type, subst(dict(c.kwargs)), dict(c.meta)))
+    return out
+
+
 def validate(
     df: DataFrame,
     suite: ExpectationSuite,
@@ -711,7 +760,9 @@ def validate(
     per_partition: bool = False,
     partition_col: str | None = None,
     unique_strategy: str = "exact",
+    evaluation_parameters: dict | None = None,
 ) -> ExpectationSuiteValidationResult:
+    suite = resolve_evaluation_parameters(suite, evaluation_parameters)
     run = ValidationRun(
         df, tables=tables, result_format=result_format,
         catch_exceptions=catch_exceptions, per_partition=per_partition,

@@ -152,3 +152,51 @@ def test_multicolumn_values_to_be_unique_alias(spark):
     r = _one(df, "expect_multicolumn_values_to_be_unique", column_list=["x", "y"])
     assert r.result["unexpected_count"] == 2  # both rows of the dup pair
     assert not r.success
+
+
+# --------------------------------------------- auto uniqueness + eval params
+
+
+def test_unique_auto_clean_skips_exact(spark):
+    df = spark.range(10_000).select(F_col("id").alias("k"))
+    r = _one_strategy(df, "auto")
+    assert r.success
+    assert r.result["details"]["strategy"] == "hll_prescreen_clean"
+    assert r.result["unexpected_count"] == 0
+
+
+def test_unique_auto_suspect_falls_back_to_exact(spark):
+    from pyspark.sql import functions as F
+    # 30% duplicates: far outside the 3*rsd noise band -> exact fallback
+    df = spark.range(10_000).select((F.col("id") % 7000).alias("k"))
+    r = _one_strategy(df, "auto")
+    assert not r.success
+    assert r.result["details"]["strategy"] == "exact_after_suspect_prescreen"
+    assert r.result["unexpected_count"] == 6000  # 3000 dup pairs -> 6000 rows
+
+
+def _one_strategy(df, strategy):
+    from sparkcheck import ExpectationSuite, validate
+    suite = ExpectationSuite("u").add("expect_column_values_to_be_unique", column="k")
+    return validate(df, suite, unique_strategy=strategy).results[0]
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+    return F.col(name)
+
+
+def test_evaluation_parameters(spark):
+    from sparkcheck import ExpectationSuite, validate
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    suite = (ExpectationSuite("ep")
+             .add("expect_table_row_count_to_equal", value={"$PARAMETER": "expected_rows"})
+             .add("expect_column_max_to_be_between",
+                  min_value=0, max_value={"$PARAMETER": "max_v"}, column="v"))
+    res = validate(df, suite, evaluation_parameters={"expected_rows": 10, "max_v": 9})
+    assert res.success
+    res2 = validate(df, suite, evaluation_parameters={"expected_rows": 11, "max_v": 9})
+    assert not res2.results[0].success and res2.results[1].success
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        validate(df, suite, catch_exceptions=False)
