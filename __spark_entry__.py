@@ -293,7 +293,7 @@ def q_ge_quantiles(spark, sf_dir):
     """column.quantile_values — exact interpolated percentile (SURVEY §2.5)."""
     li = _t(spark, sf_dir, "lineitem")
     evr = _one(spark, li, "expect_column_quantile_values_to_be_between",
-               column="l_extendedprice",
+               column="l_extendedprice", interpolation="linear",
                quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
                                 "value_ranges": [[None, None]] * 3})
     obs = evr.result["observed_value"]

@@ -154,23 +154,30 @@ _reg(ExpectationSpec(
 
 # ------------------------------------------------------------- pair map
 
+def _pair_sample(kw: dict):
+    # violation sample = the [A, B] value pair with original types (golden
+    # corpus: unexpected_list entries are 2-element lists)
+    return F.struct(F.col(kw["column_A"]).alias("A"), F.col(kw["column_B"]).alias("B"))
+
+
 _reg(ExpectationSpec(
     "expect_column_pair_values_to_be_equal", "map",
     condition=C.pair_equal, nonnull=C.pair_domain_filter,
-    sample_value=lambda kw: F.array(
-        F.col(kw["column_A"]).cast("string"), F.col(kw["column_B"]).cast("string")),
+    sample_value=_pair_sample,
     defaults={**_MOSTLY, "ignore_row_if": "both_values_are_missing"}))
-_reg(ExpectationSpec(
+_pair_gt = ExpectationSpec(
     "expect_column_pair_values_a_to_be_greater_than_b", "map",
     condition=C.pair_a_greater_than_b, nonnull=C.pair_domain_filter,
-    sample_value=lambda kw: F.array(
-        F.col(kw["column_A"]).cast("string"), F.col(kw["column_B"]).cast("string")),
-    defaults={**_MOSTLY, "or_equal": False, "ignore_row_if": "both_values_are_missing"}))
+    sample_value=_pair_sample,
+    defaults={**_MOSTLY, "or_equal": False, "ignore_row_if": "both_values_are_missing"})
+_reg(_pair_gt)
+# the reference registers the camel-case variant too (its golden corpus and
+# V2 API use A/B capitals)
+REGISTRY["expect_column_pair_values_A_to_be_greater_than_B"] = _pair_gt
 _reg(ExpectationSpec(
     "expect_column_pair_values_to_be_in_set", "map",
     condition=C.pair_in_set, nonnull=C.pair_domain_filter,
-    sample_value=lambda kw: F.array(
-        F.col(kw["column_A"]).cast("string"), F.col(kw["column_B"]).cast("string")),
+    sample_value=_pair_sample,
     defaults={**_MOSTLY, "ignore_row_if": "both_values_are_missing"}))
 
 # ---------------------------------------------------------- multicolumn map

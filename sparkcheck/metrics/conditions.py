@@ -60,16 +60,21 @@ def between(kwargs: dict) -> Column:
 
 
 def in_set(kwargs: dict) -> Column:
-    # column_values_in_set.py:77-100 — empty set => vacuously true
-    value_set = kwargs.get("value_set") or []
-    if not value_set:
+    # column_values_in_set.py:77-100; golden corpus: None value_set is the
+    # universal set (vacuously true), EMPTY value_set marks every non-null
+    # value unexpected
+    value_set = kwargs.get("value_set")
+    if value_set is None:
         return F.lit(True)
+    if not value_set:
+        return F.lit(False)
     return _c(kwargs).isin(list(value_set))
 
 
 def not_in_set(kwargs: dict) -> Column:
-    # column_values_not_in_set.py:81
-    value_set = kwargs.get("value_set") or []
+    # column_values_not_in_set.py:81 (None/None-element kwargs are rejected
+    # by the runner's config validation before this builder runs)
+    value_set = kwargs.get("value_set")
     if not value_set:
         return F.lit(True)
     return ~_c(kwargs).isin(list(value_set))
@@ -137,17 +142,33 @@ def not_match_like_pattern_list(kwargs: dict) -> Column:
     return reduce(lambda a, b: a & b, [~_like(col, p) for p in kwargs["like_pattern_list"]])
 
 
-_STRFTIME_TO_JAVA = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
-    ("%f", "SSSSSS"), ("%j", "DDD"), ("%p", "a"), ("%z", "xx"),
-]
+_STRFTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+    "%f": "SSSSSS", "%j": "DDD", "%p": "a", "%z": "xx", "%%": "'%'",
+}
 
 
 def strftime_to_java(fmt: str) -> str:
-    for py, java in _STRFTIME_TO_JAVA:
-        fmt = fmt.replace(py, java)
-    return fmt
+    """Tokenizing translation: %-codes map to java.time patterns; any other
+    alphabetic literal (e.g. the T in ISO-8601) must be single-quoted or the
+    java parser treats it as a pattern letter."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i:i + 2]
+            if code not in _STRFTIME_TO_JAVA:
+                raise ValueError(f"unsupported strftime code: {code}")
+            out.append(_STRFTIME_TO_JAVA[code])
+            i += 2
+        elif fmt[i].isalpha() or fmt[i] == "'":
+            out.append("'" + fmt[i].replace("'", "''") + "'")
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 def match_strftime_format(kwargs: dict) -> Column:

@@ -191,17 +191,27 @@ def _compile_agg_custom(dp: DomainPlan, item: CompiledItem) -> None:
         col = F.col(kw["column"])
         qr = kw["quantile_ranges"]
         quantiles = [float(q) for q in qr["quantiles"]]
+        for pair in qr.get("value_ranges", []):
+            lo, hi = pair
+            if lo is not None and hi is not None and lo > hi:
+                raise ValueError("quantile_ranges must consist of ordered pairs")
         err = kw.get("allow_relative_error", False)
-        if err is False or err == 0:
-            # exact interpolated percentile (reference uses approxQuantile with
-            # the epsilon trick — column_quantile_values.py:164-193; exact is
-            # available natively on Spark)
+        if kw.get("interpolation") == "linear":
+            # exact interpolated percentile (sort-based; matches SQL
+            # percentile_cont / our DuckDB oracle)
             expr = F.percentile(col, F.array(*[F.lit(q) for q in quantiles]))
+            item.slots["value"] = st.add(f"quantiles::{kwargs_id(kw)}", expr)
+        elif err is False or err == 0:
+            # reference-exact semantics: df.approxQuantile(.., 0.0) returns
+            # the same order statistics with the same rank convention
+            # (column_quantile_values.py:164-193) — resolved as its own small
+            # job by the runner (info flag), not a fused slot
+            item.info["use_approx_quantile"] = True
         else:
             accuracy = max(1, int(1.0 / float(err)))
             expr = F.percentile_approx(
                 col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy))
-        item.slots["value"] = st.add(f"quantiles::{kwargs_id(kw)}", expr)
+            item.slots["value"] = st.add(f"quantiles::{kwargs_id(kw)}", expr)
         item.info["quantiles"] = quantiles
     elif handler == "unique_proportion":
         col = F.col(kw["column"])

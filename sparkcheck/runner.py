@@ -102,7 +102,19 @@ class ValidationRun:
             .limit(self._sample_limit())
             .collect()
         )
-        return [r["v"] for r in rows]
+        return [self._sample_py(r["v"], kw) for r in rows]
+
+    @staticmethod
+    def _sample_py(v, kw: dict):
+        """Struct samples -> python shapes matching the reference corpus:
+        column pairs become [A, B] lists, multicolumn rows become dicts."""
+        from pyspark.sql import Row
+        if isinstance(v, Row):
+            if "column_list" in kw:
+                d = v.asDict()
+                return {c: d.get(c) for c in kw["column_list"]}
+            return list(v)
+        return v
 
     def _map_evr(self, item: CompiledItem, element: int, nonnull: int, unexpected: int,
                  samples: list) -> ExpectationValidationResult:
@@ -180,8 +192,12 @@ class ValidationRun:
                     result={"observed_value": count})
             return self._between_evr(item, count)
         if handler == "quantiles":
-            values = row[item.slots["value"]]
-            values = list(values) if values is not None else []
+            if item.info.get("use_approx_quantile"):
+                values = item.info["dfd"].approxQuantile(
+                    item.kwargs["column"], item.info["quantiles"], 0.0)
+            else:
+                values = row[item.slots["value"]]
+                values = list(values) if values is not None else []
             ranges = kw["quantile_ranges"]["value_ranges"]
             successes = []
             for v, (lo, hi) in zip(values, ranges):
@@ -200,14 +216,18 @@ class ValidationRun:
             return self._between_evr(item, proportion)
         if handler == "distinct_set":
             observed = sorted(row[item.slots["value"]] or [])
-            value_set = set(kw["value_set"])
             mode = item.spec.extra["mode"]
             oset = set(observed)
-            success = {
-                "subset": oset <= value_set,
-                "superset": oset >= value_set,
-                "equal": oset == value_set,
-            }[mode]
+            if kw.get("value_set") is None:
+                # null set = universal set (vacuously true subset/contains)
+                success = True if mode != "equal" else len(oset) == 0
+            else:
+                value_set = set(kw["value_set"])
+                success = {
+                    "subset": oset <= value_set,
+                    "superset": oset >= value_set,
+                    "equal": oset == value_set,
+                }[mode]
             return ExpectationValidationResult(
                 success=bool(success), expectation_config=item.config,
                 result={"observed_value": observed})
@@ -285,7 +305,11 @@ class ValidationRun:
         # fused; per-partition verdicts are not emitted for it (cross-partition
         # order is global by construction).
         kw = item.kwargs
-        nn = F.col(kw["column"]).isNotNull()
+        # reference null-filters the domain BEFORE the window (so `prev` is
+        # the previous NON-null value — interspersed nulls don't mask
+        # regressions): sparkdf_execution_engine.py:592-629
+        dfd = dfd.filter(F.col(kw["column"]).isNotNull())
+        nn = F.lit(True)
         expected = item.spec.condition(kw)
         flagged = dfd.select(
             F.col(kw["column"]), (nn & ~expected).alias("__unexpected"), nn.alias("__nn"))
@@ -519,17 +543,26 @@ class ValidationRun:
         schema = self.df.schema
         columns = [f.name for f in schema.fields]
         if handler == "column_exists":
+            ok = kw["column"] in columns
+            if ok and kw.get("column_index") is not None:
+                ok = columns.index(kw["column"]) == int(kw["column_index"])
             return ExpectationValidationResult(
-                success=kw["column"] in columns, expectation_config=item.config, result={})
+                success=bool(ok), expectation_config=item.config, result={})
         if handler == "columns_ordered":
+            if kw.get("column_list") is None:  # vacuously true (corpus)
+                return ExpectationValidationResult(
+                    success=True, expectation_config=item.config,
+                    result={"observed_value": columns})
             expected = list(kw["column_list"])
             return ExpectationValidationResult(
                 success=columns == expected, expectation_config=item.config,
                 result={"observed_value": columns})
         if handler == "columns_set":
-            expected = set(kw["column_set"])
+            expected = set(kw.get("column_set") or [])
             observed = set(columns)
             exact = kw.get("exact_match", True)
+            if kw.get("exact_match") is None:
+                exact = True
             success = observed == expected if exact else expected <= observed
             return ExpectationValidationResult(
                 success=bool(success), expectation_config=item.config,
@@ -557,6 +590,118 @@ class ValidationRun:
         raise ValueError(handler)
 
     # ------------------------------------------------------------ main run
+
+
+    # ----------------------------------------------------- config validation
+
+    _BOUNDED_TYPES = {
+        "expect_column_values_to_be_between",
+        "expect_column_value_lengths_to_be_between",
+        "expect_column_mean_to_be_between", "expect_column_min_to_be_between",
+        "expect_column_max_to_be_between", "expect_column_sum_to_be_between",
+        "expect_column_stdev_to_be_between", "expect_column_median_to_be_between",
+        "expect_table_row_count_to_be_between",
+        "expect_table_column_count_to_be_between",
+    }
+    _NUMERIC_COLUMN_TYPES = {
+        "expect_column_mean_to_be_between", "expect_column_sum_to_be_between",
+        "expect_column_stdev_to_be_between", "expect_column_median_to_be_between",
+        "expect_column_quantile_values_to_be_between",
+        "expect_column_value_z_scores_to_be_less_than",
+    }
+    _NUMERIC_BOUND_TYPES = {
+        "expect_column_mean_to_be_between", "expect_column_sum_to_be_between",
+        "expect_column_stdev_to_be_between", "expect_column_median_to_be_between",
+        "expect_table_row_count_to_be_between",
+        "expect_table_column_count_to_be_between",
+        "expect_column_value_lengths_to_be_between",
+    }
+    _STRING_COLUMN_TYPES = {
+        "expect_column_value_lengths_to_be_between": "object of type 'int' has no len() — value-length expectations require a string column",
+        "expect_column_value_lengths_to_equal": "object of type 'int' has no len() — value-length expectations require a string column",
+        "expect_column_values_to_match_strftime_format": "Values passed to expect_column_values_to_match_strftime_format must be of type string",
+    }
+
+    def _validate_config(self, config: ExpectationConfiguration) -> None:
+        """Kwarg/type validation mirroring the reference's config checks
+        (golden corpus error cases: missing bounds, min>max, non-numeric
+        bounds/columns, wrong input dtypes)."""
+        import pyspark.sql.types as T
+        etype = config.expectation_type
+        spec = get_spec(etype)
+        kw = {**spec.defaults, **config.kwargs}
+        num = (int, float)
+
+        if etype in self._BOUNDED_TYPES:
+            mn, mx = kw.get("min_value"), kw.get("max_value")
+            # only the map-level expectations error on missing bounds; the
+            # aggregate/table betweens are vacuously true (golden corpus)
+            # the reference is inconsistent here and the golden corpus
+            # encodes it: min/sum error on missing bounds, mean/median/
+            # stdev/max/table-counts are vacuously true
+            if mn is None and mx is None and etype in (
+                    "expect_column_values_to_be_between",
+                    "expect_column_value_lengths_to_be_between",
+                    "expect_column_min_to_be_between",
+                    "expect_column_sum_to_be_between"):
+                raise ValueError("min_value and max_value cannot both be None")
+            # value-length betweens allow max < min (all rows unexpected)
+            if etype != "expect_column_value_lengths_to_be_between" and (
+                    isinstance(mn, num) and not isinstance(mn, bool)
+                    and isinstance(mx, num) and not isinstance(mx, bool) and mn > mx):
+                raise ValueError("min_value cannot be greater than max_value")
+            if etype in self._NUMERIC_BOUND_TYPES:
+                for b in (mn, mx):
+                    if b is not None and (isinstance(b, bool) or not isinstance(b, num)):
+                        raise ValueError("min_value and max_value must be numbers")
+            if etype == "expect_column_value_lengths_to_be_between":
+                for b in (mn, mx):
+                    if b is not None and not float(b).is_integer():
+                        raise ValueError("min_value and max_value must be integers")
+
+        if etype == "expect_column_values_to_not_be_in_set":
+            vs = kw.get("value_set")
+            if vs is None:
+                raise TypeError("argument of type 'NoneType' is not iterable")
+            if any(v is None for v in vs):
+                raise ValueError(
+                    "expect_column_values_to_not_be_in_set cannot support a None "
+                    "in the value_set in spark")
+
+        if etype == "expect_column_quantile_values_to_be_between":
+            for pair in kw.get("quantile_ranges", {}).get("value_ranges", []):
+                lo, hi = pair
+                if lo is not None and hi is not None and lo > hi:
+                    raise ValueError("quantile_ranges must consist of ordered pairs")
+
+        if etype in ("expect_table_row_count_to_equal", "expect_table_column_count_to_equal"):
+            v = kw.get("value")
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise ValueError("value must be an integer")
+
+        fields = {f.name: f.dataType for f in self.df.schema.fields}
+        col = kw.get("column")
+        dt = fields.get(col) if col else None
+        if dt is not None:
+            if etype in self._NUMERIC_COLUMN_TYPES and not isinstance(
+                    dt, (T.NumericType,)):
+                raise TypeError(
+                    f"{etype} requires a numeric column; '{col}' is {dt.simpleString()}")
+            if etype in self._STRING_COLUMN_TYPES and not isinstance(
+                    dt, (T.StringType,)):
+                raise TypeError(self._STRING_COLUMN_TYPES[etype])
+            if etype == "expect_column_values_to_be_between":
+                mn, mx = kw.get("min_value"), kw.get("max_value")
+                numeric_col = isinstance(dt, T.NumericType)
+                string_col = isinstance(dt, T.StringType)
+                for b in (mn, mx):
+                    if b is None:
+                        continue
+                    b_num = isinstance(b, num) and not isinstance(b, bool)
+                    if (numeric_col and not b_num) or (string_col and b_num):
+                        raise TypeError(
+                            "Column values, min_value, and max_value must either "
+                            "be None or of the same type.")
 
     def _missing_columns(self, config: ExpectationConfiguration) -> list[str]:
         """Column-existence pre-check (the reference wires every metric to a
@@ -589,8 +734,21 @@ class ValidationRun:
                         "exception_message": f"KeyError: {exc}",
                         "exception_traceback": None,
                     })
-            else:
-                plannable.append(config)
+                continue
+            try:
+                self._validate_config(config)
+            except Exception as exc:  # noqa: BLE001 — config errors become EVRs
+                if not self.catch_exceptions:
+                    raise
+                evrs[id(config)] = ExpectationValidationResult(
+                    success=False, expectation_config=config, result={},
+                    exception_info={
+                        "raised_exception": True,
+                        "exception_message": f"{type(exc).__name__}: {exc}",
+                        "exception_traceback": traceback.format_exc(),
+                    })
+                continue
+            plannable.append(config)
         plan = compile_suite(plannable)
 
         def record(config: ExpectationConfiguration, fn) -> None:

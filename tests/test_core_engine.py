@@ -216,7 +216,14 @@ class TestAggregates:
                     "quantiles": [0.5, 0.9],
                     "value_ranges": [[50, 51], [89, 92]]})
         assert r.success
-        assert r.result["observed_value"]["values"][0] == pytest.approx(50.5)
+        # default semantics = reference order statistics (df.approxQuantile)
+        assert r.result["observed_value"]["values"][0] == pytest.approx(50.0)
+        r2 = one(df, "expect_column_quantile_values_to_be_between", column="v",
+                 interpolation="linear",
+                 quantile_ranges={
+                     "quantiles": [0.5, 0.9],
+                     "value_ranges": [[50, 51], [89, 92]]})
+        assert r2.result["observed_value"]["values"][0] == pytest.approx(50.5)
 
     def test_unique_value_count(self, ge_mixed):
         r = one(ge_mixed, "expect_column_unique_value_count_to_be_between",
