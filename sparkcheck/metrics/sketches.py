@@ -24,6 +24,26 @@ def _normalize(counts: np.ndarray, total: float) -> np.ndarray:
     return counts.astype(float) / total
 
 
+def entropy_kl(pk, qk) -> float:
+    """KL(pk || qk) with scipy.stats.entropy semantics: BOTH vectors are
+    normalized to sum to 1 first; observed mass where expected is zero => inf;
+    degenerate inputs => nan."""
+    pk = np.asarray(pk, dtype=float)
+    qk = np.asarray(qk, dtype=float)
+    sp, sq = pk.sum(), qk.sum()
+    if sp <= 0 or sq <= 0:
+        return float("nan")
+    p, q = pk / sp, qk / sq
+    total = 0.0
+    for pi, qi in zip(p, q):
+        if pi == 0:
+            continue
+        if qi == 0:
+            return float("inf")
+        total += pi * np.log(pi / qi)
+    return float(total)
+
+
 def kl_divergence(
     observed_counts: list[float],
     expected_weights: list[float],
@@ -32,50 +52,115 @@ def kl_divergence(
     nonnull_count: float | None = None,
     tail_weight_holdout: float = 0.0,
     internal_weight_holdout: float = 0.0,
-    categorical: bool = False,
+    bins: list[float] | None = None,
+    expected_tail_weights: list[float] | None = None,
 ) -> tuple[float, dict]:
-    """KL(observed || expected) over the partition bins.
+    """Continuous-partition KL(observed || expected), matching the reference
+    branch-for-branch (expect_column_kl_divergence_to_be_less_than.py:468-630):
 
-    Holdout semantics per the reference: ``tail_weight_holdout`` reserves
-    expected mass for observations outside the bins (split evenly below/above);
-    ``internal_weight_holdout`` is spread over expected-zero internal bins.
-    Observed mass where expected (after holdout) is zero => +inf.
+    - ``scipy.stats.entropy`` semantics (both vectors normalized),
+    - partition ``tail_weights`` OR ``tail_weight_holdout`` (mutually
+      exclusive, enforced by the caller),
+    - +/-inf bin endpoints: the edge weights ARE the tail weights; holdout is
+      rejected for double-infinite partitions and assigned to the open side
+      for single-infinite ones,
+    - ``internal_weight_holdout`` spread over expected-zero internal bins.
     """
     obs = np.asarray(observed_counts, dtype=float)
-    exp = np.asarray(expected_weights, dtype=float)
-    exp = exp / exp.sum() if exp.sum() > 0 else exp
-    total = float(nonnull_count) if nonnull_count is not None else float(obs.sum() + below_count + above_count)
-    po = _normalize(obs, total)
-    po_below = below_count / total if total > 0 else 0.0
-    po_above = above_count / total if total > 0 else 0.0
+    total = float(nonnull_count) if nonnull_count is not None else float(
+        obs.sum() + below_count + above_count)
+    observed = _normalize(obs, total)
+    below_w = below_count / total if total > 0 else 0.0
+    above_w = above_count / total if total > 0 else 0.0
 
-    pe = exp * (1.0 - tail_weight_holdout - internal_weight_holdout)
-    zero_mask = pe == 0
-    n_zero = int(zero_mask.sum())
-    if internal_weight_holdout > 0 and n_zero:
-        pe = pe + zero_mask * (internal_weight_holdout / n_zero)
-    pe_tail = tail_weight_holdout / 2.0
+    expected = np.asarray(expected_weights, dtype=float) * (
+        1.0 - tail_weight_holdout - internal_weight_holdout)
+    if internal_weight_holdout > 0:
+        zero_mask = expected == 0
+        n_zero = int(zero_mask.sum())
+        if n_zero:
+            expected = expected + zero_mask * (internal_weight_holdout / n_zero)
 
+    bins = list(bins) if bins is not None else []
+    neg_inf = bool(bins) and bins[0] == float("-inf")
+    pos_inf = bool(bins) and bins[-1] == float("inf")
+
+    if neg_inf and pos_inf:
+        comb_exp = expected
+        exp_tails = [float(expected[0]), float(expected[-1])]
+        exp_main = expected[1:-1]
+        comb_obs = observed
+        obs_tails = [float(observed[0]), float(observed[-1])]
+        obs_main = observed[1:-1]
+    elif neg_inf:
+        comb_exp = np.concatenate((expected, [tail_weight_holdout]))
+        exp_tails = [float(expected[0]), tail_weight_holdout]
+        exp_main = expected[1:]
+        comb_obs = np.concatenate((observed, [above_w]))
+        obs_tails = [float(observed[0]), above_w]
+        obs_main = observed[1:]
+    elif pos_inf:
+        comb_exp = np.concatenate(([tail_weight_holdout], expected))
+        exp_tails = [tail_weight_holdout, float(expected[-1])]
+        exp_main = expected[:-1]
+        comb_obs = np.concatenate(([below_w], observed))
+        obs_tails = [below_w, float(observed[-1])]
+        obs_main = observed[:-1]
+    else:
+        if expected_tail_weights is not None:
+            comb_exp = np.concatenate(
+                ([expected_tail_weights[0]], expected, [expected_tail_weights[1]]))
+            exp_tails = [float(expected_tail_weights[0]), float(expected_tail_weights[1])]
+        else:
+            comb_exp = np.concatenate(
+                ([tail_weight_holdout / 2], expected, [tail_weight_holdout / 2]))
+            exp_tails = [tail_weight_holdout / 2, tail_weight_holdout / 2]
+        exp_main = expected
+        comb_obs = np.concatenate(([below_w], observed, [above_w]))
+        obs_tails = [below_w, above_w]
+        obs_main = observed
+
+    kl = entropy_kl(comb_obs, comb_exp)
     details = {
-        "observed_weights": po.tolist(),
-        "expected_weights": pe.tolist(),
-        "observed_tail_weights": [po_below, po_above],
-        "expected_tail_weights": [pe_tail, pe_tail],
+        "observed_weights": np.asarray(obs_main, dtype=float).tolist(),
+        "expected_weights": np.asarray(exp_main, dtype=float).tolist(),
+        "observed_tail_weights": [float(x) for x in obs_tails],
+        "expected_tail_weights": [float(x) for x in exp_tails],
     }
+    return kl, details
 
-    def term(p: float, q: float) -> float:
-        if p == 0:
-            return 0.0
-        if q == 0:
-            return float("inf")
-        return p * np.log(p / q)
 
-    kl = sum(term(p, q) for p, q in zip(po, pe))
-    if not categorical:
-        kl += term(po_below, pe_tail) + term(po_above, pe_tail)
-    elif po_below or po_above:
-        kl = float("inf")
-    return float(kl), details
+def kl_divergence_categorical(
+    observed_counts: dict,
+    nonnull_count: float,
+    values: list,
+    weights: list[float],
+    tail_weight_holdout: float = 0.0,
+) -> tuple[float, dict]:
+    """Categorical KL matching the reference (same file, :391-447): outer
+    union of observed and expected values; values we expected but never saw
+    count as observed 0; values we saw but did not expect receive
+    tail_weight_holdout / n_unexpected expected mass each (scaling the
+    declared weights by 1 - holdout); scipy-entropy normalization."""
+    expected = {v: float(w) for v, w in zip(values, weights)}
+    union = list(expected)
+    for v in observed_counts:
+        if v not in expected:
+            union.append(v)
+    n_unexpected = sum(1 for v in union if v not in expected)
+    pk, qk = [], []
+    for v in union:
+        pk.append(observed_counts.get(v, 0.0) / nonnull_count if nonnull_count else 0.0)
+        if v in expected:
+            qk.append(expected[v] * ((1 - tail_weight_holdout) if n_unexpected else 1.0))
+        else:
+            qk.append(tail_weight_holdout / n_unexpected if n_unexpected else 0.0)
+    kl = entropy_kl(pk, qk)
+    details = {
+        "observed_partition": {"values": union, "weights": pk},
+        "expected_partition": {"values": union, "weights": qk},
+    }
+    return kl, details
 
 
 def ks_statistic(observed_counts: list[float], expected_weights: list[float]) -> float:

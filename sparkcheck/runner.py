@@ -51,6 +51,27 @@ from .types import (
 UNEXPECTED_LIST_LIMIT = 10_000
 
 
+def _is_valid_partition_object(po) -> bool:
+    """Reference execution_engine/util.py:21-78 semantics."""
+    import numpy as _np
+    if po is None:
+        return False
+    if "values" in po and "weights" in po:
+        return (len(po["values"]) == len(po["weights"])
+                and _np.allclose(sum(po["weights"]), 1))
+    if "bins" in po and "weights" in po:
+        comb = list(po["weights"])
+        if "tail_weights" in po:
+            if len(po["tail_weights"]) != 2:
+                return False
+            comb = comb + list(po["tail_weights"])
+        bins = po["bins"]
+        return (len(bins) == len(po["weights"]) + 1
+                and all(b2 > b1 for b1, b2 in zip(bins, bins[1:]))
+                and _np.allclose(sum(comb), 1.0))
+    return False
+
+
 class ValidationRun:
     """Holds one validation run's context and results."""
 
@@ -247,11 +268,8 @@ class ValidationRun:
         expected = item.info["expected_weights"]
         categorical = "values" in item.info
         if score_kind == "kl":
-            value, details = sketches.kl_divergence(
-                counts, expected, below, above, nonnull,
-                kw.get("tail_weight_holdout", 0.0), kw.get("internal_weight_holdout", 0.0),
-                categorical=categorical)
-        elif score_kind == "ks":
+            return self._kl_evr(item, row, counts, below, above, nonnull, categorical)
+        if score_kind == "ks":
             value, details = sketches.ks_statistic(counts, expected), {}
         elif score_kind == "psi":
             value, details = sketches.psi(counts, expected), {}
@@ -277,6 +295,61 @@ class ValidationRun:
             result={"observed_value": value,
                     "details": {"observed_partition": observed_partition,
                                 "expected_partition": kw["partition_object"], **details}})
+
+    def _kl_evr(self, item: CompiledItem, row: dict, counts, below, above,
+                nonnull, categorical: bool) -> ExpectationValidationResult:
+        """expect_column_kl_divergence_to_be_less_than with the reference's
+        exact semantics (expect_column_kl_divergence_to_be_less_than.py:
+        315-630): scipy-entropy normalization, tail_weights / holdout rules,
+        +/-inf endpoints, categorical outer-union fill, observed_value None
+        on inf/nan, success = kl <= threshold (True when threshold is None).
+        """
+        kw = item.kwargs
+        po = kw["partition_object"]
+        threshold = kw.get("threshold")
+        th = float(kw.get("tail_weight_holdout", 0.0))
+        ih = float(kw.get("internal_weight_holdout", 0.0))
+
+        if categorical:
+            values = item.info["values"]
+            observed = {v: float(c) for v, c in zip(values, counts)}
+            seen_mass = sum(observed.values())
+            if nonnull - seen_mass > 0.5:
+                # values outside the expected set exist: one groupBy job
+                # resolves their individual counts (rare path; the fused pass
+                # already covered the expected values)
+                col = F.col(kw["column"])
+                rows = (item.info["dfd"].filter(col.isNotNull() & ~col.isin(values))
+                        .groupBy(col).agg(F.count(F.lit(1)).alias("__n")).collect())
+                for r in rows:
+                    observed[r[kw["column"]]] = float(r["__n"])
+            value, details = sketches.kl_divergence_categorical(
+                observed, float(nonnull), values, item.info["expected_weights"], th)
+        else:
+            value, details = sketches.kl_divergence(
+                counts, item.info["expected_weights"], below, above, nonnull,
+                th, ih, bins=item.info.get("bins"),
+                expected_tail_weights=po.get("tail_weights"))
+
+        import math
+        displayable = not (math.isinf(value) or math.isnan(value))
+        observed_value = value if displayable else None
+        success = True if threshold is None else bool(value <= float(threshold))
+        if not categorical:
+            bins = item.info.get("bins") or []
+            shown_bins = [b for b in bins if not math.isinf(b)]
+            details = {
+                "observed_partition": {"bins": shown_bins,
+                                       "weights": details["observed_weights"],
+                                       "tail_weights": details["observed_tail_weights"]},
+                "expected_partition": {"bins": shown_bins,
+                                       "weights": details["expected_weights"],
+                                       "tail_weights": details["expected_tail_weights"]},
+            }
+        return ExpectationValidationResult(
+            success=success, expectation_config=item.config,
+            result={"observed_value": observed_value, "details": details})
+
 
     # ----------------------------------------------------------- job items
 
@@ -667,6 +740,43 @@ class ValidationRun:
                 raise ValueError(
                     "expect_column_values_to_not_be_in_set cannot support a None "
                     "in the value_set in spark")
+
+        if etype == "expect_column_kl_divergence_to_be_less_than":
+            po = kw.get("partition_object")
+            threshold = kw.get("threshold")
+            th = kw.get("tail_weight_holdout", 0.0)
+            ih = kw.get("internal_weight_holdout", 0.0)
+            if po is not None and not _is_valid_partition_object(po):
+                raise ValueError("Invalid partition object.")
+            if threshold is not None and (
+                    isinstance(threshold, bool) or not isinstance(threshold, num)
+                    or threshold < 0):
+                raise ValueError(
+                    "Threshold must be specified, greater than or equal to zero.")
+            for name, hv in (("tail_weight_holdout", th), ("internal_weight_holdout", ih)):
+                if isinstance(hv, bool) or not isinstance(hv, num) or hv < 0 or hv > 1:
+                    raise ValueError(f"{name} must be between zero and one.")
+            if po is not None:
+                if th != 0 and "tail_weights" in po:
+                    raise ValueError(
+                        "tail_weight_holdout must be 0 when using tail_weights in partition object")
+                if "values" in po and ih > 0:
+                    raise ValueError(
+                        "Internal weight holdout cannot be used for discrete data.")
+                if "bins" in po:
+                    bins = po["bins"]
+                    neg_inf = bins[0] == float("-inf")
+                    pos_inf = bins[-1] == float("inf")
+                    if neg_inf and pos_inf and th > 0:
+                        raise ValueError(
+                            "tail_weight_holdout cannot be used for partitions with infinite endpoints.")
+                    if (neg_inf or pos_inf) and "tail_weights" in po:
+                        raise ValueError(
+                            "There can be no tail weights for partitions with one or both endpoints at infinity")
+                    if kw.get("bucketize_data", True) is False:
+                        raise ValueError(
+                            "KL Divergence cannot be computed with a continuous partition "
+                            "object and the bucketize_data parameter set to false.")
 
         if etype == "expect_column_quantile_values_to_be_between":
             for pair in kw.get("quantile_ranges", {}).get("value_ranges", []):

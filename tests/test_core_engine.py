@@ -319,7 +319,8 @@ class TestDrift:
         r = one(df, "expect_column_kl_divergence_to_be_less_than",
                 column="v", partition_object=po, threshold=10)
         assert not r.success
-        assert math.isinf(r.result["observed_value"])
+        # reference contract: inf/nan KL -> observed_value None, success False
+        assert r.result["observed_value"] is None
 
     def test_ks_and_psi(self, spark):
         df = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")

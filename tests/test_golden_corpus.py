@@ -32,6 +32,7 @@ SECTIONS = [
     "column_pair_map_expectations",
     "multicolumn_map_expectations",
     "other_expectations",
+    "column_distributional_expectations",
 ]
 
 # kwargs the spark reference itself doesn't support, or pandas-only semantics
@@ -48,7 +49,6 @@ SKIP_KWARGS = {
 SKIP_TYPES = {
     "expect_column_values_to_be_of_type",          # corpus 'out' is pandas dtype strings
     "expect_column_values_to_be_in_type_list",
-    "expect_column_kl_divergence_to_be_less_than",
     "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
     "expect_column_chisquare_test_p_value_to_be_greater_than",
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
@@ -201,6 +201,9 @@ def test_golden_case(spark, etype, dataset, schemas, test):
     # evaluation-parameter tests provide $PARAMETER kwargs without values here
     if any(isinstance(v, dict) and "$PARAMETER" in v for v in kwargs.values()):
         pytest.skip("evaluation-parameter binding exercised in unit tests")
+    if (etype == "expect_column_kl_divergence_to_be_less_than"
+            and kwargs.get("partition_object") is None):
+        pytest.skip("auto-bucketization (profiler path) exercised in unit tests")
     df = _build_df(spark, dataset["data"], schemas)
 
     suite = ExpectationSuite("golden").add(etype, **kwargs)
