@@ -238,7 +238,18 @@ def _compile_drift(dp: DomainPlan, item: CompiledItem) -> None:
     st = dp.slot_table
     po = kw.get("partition_object")
     if po is None:
-        raise ValueError(f"{item.config.expectation_type} requires partition_object")
+        if item.spec.extra.get("score") != "kl":
+            raise ValueError(f"{item.config.expectation_type} requires partition_object")
+        # KL auto-partition (reference: partition_object=None => build the
+        # partition from THIS batch via column.partition/column.histogram or
+        # value_counts — expect_column_kl_divergence_to_be_less_than.py:
+        # 338-356); resolved by the runner as its own small jobs
+        item.info["auto"] = "continuous" if kw.get("bucketize_data", True) else "categorical"
+        item.slots["nonnull"] = st.add(
+            f"nonnull::col:{kw['column']}", _count_if(col.isNotNull()))
+        item.info["expected_weights"] = []
+        item.info["bin_aliases"] = []
+        return
     item.slots["nonnull"] = st.add(f"nonnull::col:{kw['column']}", _count_if(col.isNotNull()))
     base = kwargs_id({"c": kw["column"], "po": po})
     if "bins" in po:

@@ -305,10 +305,13 @@ class ValidationRun:
         on inf/nan, success = kl <= threshold (True when threshold is None).
         """
         kw = item.kwargs
-        po = kw["partition_object"]
+        po = kw.get("partition_object")
         threshold = kw.get("threshold")
         th = float(kw.get("tail_weight_holdout", 0.0))
         ih = float(kw.get("internal_weight_holdout", 0.0))
+
+        if item.info.get("auto"):
+            return self._kl_auto_evr(item, nonnull, threshold, th, ih)
 
         if categorical:
             values = item.info["values"]
@@ -349,6 +352,59 @@ class ValidationRun:
         return ExpectationValidationResult(
             success=success, expectation_config=item.config,
             result={"observed_value": observed_value, "details": details})
+
+
+    def _kl_auto_evr(self, item: CompiledItem, nonnull, threshold, th, ih):
+        """partition_object=None: build the partition FROM this batch
+        (reference :338-356) — the observed distribution scored against a
+        partition of itself (KL ~ 0; the result's value is the returned
+        partition for later runs, matching the profiler role)."""
+        import math
+        kw = item.kwargs
+        dfd = item.info["dfd"]
+        col_name = kw["column"]
+        col = F.col(col_name)
+        if item.info["auto"] == "categorical":
+            rows = (dfd.filter(col.isNotNull()).groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__n")).collect())
+            observed = {r[col_name]: float(r["__n"]) for r in rows}
+            values = sorted(observed, key=lambda v: (v is None, str(v)))
+            weights = [observed[v] / nonnull for v in values] if nonnull else []
+            value, details = sketches.kl_divergence_categorical(
+                observed, float(nonnull), values, weights, th)
+        else:
+            qs = [i / 10 for i in range(11)]
+            edges = dfd.approxQuantile(col_name, qs, 0.0) if nonnull else []
+            bins = sorted(set(e for e in edges if e is not None))
+            if len(bins) < 2:
+                return ExpectationValidationResult(
+                    success=True, expectation_config=item.config,
+                    result={"observed_value": None,
+                            "details": {"note": "not enough data to partition"}})
+            exprs = []
+            for i in range(len(bins) - 1):
+                lo, hi = bins[i], bins[i + 1]
+                cond = (col >= lo) & ((col <= hi) if i == len(bins) - 2 else (col < hi))
+                exprs.append(F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"h{i}"))
+            hrow = dfd.agg(*exprs).first().asDict()
+            counts = [float(hrow[f"h{i}"]) for i in range(len(bins) - 1)]
+            weights = [c / nonnull for c in counts] if nonnull else []
+            value, details = sketches.kl_divergence(
+                counts, weights, 0.0, 0.0, nonnull, th, ih, bins=bins,
+                expected_tail_weights=None)
+            details = {
+                "observed_partition": {"bins": bins, "weights": details["observed_weights"],
+                                       "tail_weights": details["observed_tail_weights"]},
+                "expected_partition": {"bins": bins, "weights": details["expected_weights"],
+                                       "tail_weights": details["expected_tail_weights"]},
+            }
+        displayable = not (math.isinf(value) or math.isnan(value))
+        success = True if threshold is None else bool(value <= float(threshold))
+        return ExpectationValidationResult(
+            success=success, expectation_config=item.config,
+            result={"observed_value": value if displayable else None,
+                    "details": details if isinstance(details, dict) else {}})
 
 
     # ----------------------------------------------------------- job items

@@ -201,9 +201,6 @@ def test_golden_case(spark, etype, dataset, schemas, test):
     # evaluation-parameter tests provide $PARAMETER kwargs without values here
     if any(isinstance(v, dict) and "$PARAMETER" in v for v in kwargs.values()):
         pytest.skip("evaluation-parameter binding exercised in unit tests")
-    if (etype == "expect_column_kl_divergence_to_be_less_than"
-            and kwargs.get("partition_object") is None):
-        pytest.skip("auto-bucketization (profiler path) exercised in unit tests")
     df = _build_df(spark, dataset["data"], schemas)
 
     suite = ExpectationSuite("golden").add(etype, **kwargs)
