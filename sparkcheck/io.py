@@ -210,18 +210,85 @@ def expected_counts(n_rows: int) -> dict[str, int]:
 
 
 # ------------------------------------------------------ manifest table IO
+#
+# Parquet + a JSON snapshot log standing in for Iceberg's snapshot/manifest
+# machinery (SURVEY.md §7 risk 6: the Iceberg runtime jar is not in this
+# container; the engine consumes only the interface). Semantics mirrored:
+# - every write commits a new immutable snapshot (its own data dir),
+# - `mode="append"` snapshots inherit the parent's files (incremental commit),
+# - reads resolve a snapshot id (default: current) => TIME TRAVEL,
+# - the snapshot log is committed by atomic rename, like checkpoint.py.
 
 
-def write_table(df: DataFrame, path: str, *, snapshot_id: str = "snap-0",
-                mode: str = "overwrite") -> None:
-    """Parquet + JSON manifest standing in for an Iceberg snapshot commit."""
-    df.write.mode(mode).parquet(os.path.join(path, "data"))
-    manifest = {"snapshot_id": snapshot_id, "format": "parquet"}
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+def _load_log(path: str) -> dict:
+    log_path = os.path.join(path, "snapshots.json")
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            return json.load(f)
+    return {"snapshots": [], "current": None}
 
 
-def read_table(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
-    return spark.read.parquet(os.path.join(path, "data")), manifest
+def _commit_log(path: str, log: dict) -> None:
+    log_path = os.path.join(path, "snapshots.json")
+    tmp = log_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f, indent=1)
+    os.replace(tmp, log_path)  # atomic snapshot commit
+
+
+def write_table(df: DataFrame, path: str, *, snapshot_id: str | None = None,
+                mode: str = "overwrite") -> str:
+    """Commit `df` as a new snapshot of the table at `path`. Returns the
+    snapshot id. ``mode="append"`` makes the new snapshot include the current
+    snapshot's files plus the new data (Iceberg append commit)."""
+    os.makedirs(path, exist_ok=True)
+    log = _load_log(path)
+    if snapshot_id is None:
+        snapshot_id = f"snap-{len(log['snapshots'])}"
+    if any(s["id"] == snapshot_id for s in log["snapshots"]):
+        raise ValueError(f"snapshot {snapshot_id} already exists (snapshots are immutable)")
+    data_dir = os.path.join(path, "data", snapshot_id)
+    df.write.mode("errorifexists").parquet(data_dir)
+    dirs = [os.path.join("data", snapshot_id)]
+    parent = log["current"]
+    if mode == "append" and parent is not None:
+        parent_snap = next(s for s in log["snapshots"] if s["id"] == parent)
+        dirs = parent_snap["dirs"] + dirs
+    log["snapshots"].append({"id": snapshot_id, "mode": mode,
+                             "parent": parent, "dirs": dirs})
+    log["current"] = snapshot_id
+    _commit_log(path, log)
+    return snapshot_id
+
+
+def read_table(spark: SparkSession, path: str,
+               snapshot_id: str | None = None) -> tuple[DataFrame, dict]:
+    """Read the table at `path` — the current snapshot by default, or any
+    committed snapshot id (time travel). Returns (df, manifest) where the
+    manifest carries (snapshot_id, parent, lineage) for verdict rows."""
+    log = _load_log(path)
+    if not log["snapshots"]:
+        # legacy single-manifest layout
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        return spark.read.parquet(os.path.join(path, "data")), manifest
+    sid = snapshot_id or log["current"]
+    snap = next((s for s in log["snapshots"] if s["id"] == sid), None)
+    if snap is None:
+        raise KeyError(f"unknown snapshot: {sid}")
+    # data lineage: the chain of snapshots whose files contribute to this
+    # read — append commits extend it, overwrite commits reset it
+    lineage = [sid]
+    cur = snap
+    while cur.get("mode") == "append" and cur.get("parent"):
+        lineage.append(cur["parent"])
+        cur = next(s for s in log["snapshots"] if s["id"] == cur["parent"])
+    df = spark.read.parquet(*[os.path.join(path, d) for d in snap["dirs"]])
+    manifest = {"snapshot_id": sid, "format": "parquet",
+                "parent": snap.get("parent"), "lineage": lineage}
+    return df, manifest
+
+
+def snapshots(path: str) -> list[dict]:
+    """The committed snapshot log (oldest first)."""
+    return _load_log(path)["snapshots"]

@@ -306,3 +306,42 @@ class TestColumnModeCheckpoint:
         assert set(verdicts) == set(by_codec)
         for codec, u in by_codec.items():
             assert verdicts[codec]["unexpected_count"] == int(u or 0)
+
+
+class TestSnapshotIO:
+    def test_snapshot_commit_append_and_time_travel(self, spark, tmp_path):
+        from sparkcheck.io import read_table, snapshots, write_table
+        path = str(tmp_path / "tbl")
+        df1 = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+        s1 = write_table(df1, path)
+        df2 = spark.range(100, 150).selectExpr("id", "id * 2 AS v")
+        s2 = write_table(df2, path, mode="append")
+        # current snapshot = union
+        cur, m = read_table(spark, path)
+        assert cur.count() == 150
+        assert m["snapshot_id"] == s2 and m["lineage"] == [s2, s1]
+        # time travel to the first snapshot
+        old, m1 = read_table(spark, path, snapshot_id=s1)
+        assert old.count() == 100 and m1["snapshot_id"] == s1
+        # overwrite commit resets lineage
+        s3 = write_table(spark.range(5).selectExpr("id", "id AS v"), path)
+        cur3, m3 = read_table(spark, path)
+        assert cur3.count() == 5 and m3["parent"] == s2 and m3["lineage"] == [s3]
+        assert [s["id"] for s in snapshots(path)] == [s1, s2, s3]
+        # snapshots are immutable
+        with pytest.raises(ValueError):
+            write_table(df1, path, snapshot_id=s1)
+
+    def test_checkpoint_carries_snapshot_lineage(self, spark, tmp_path):
+        from sparkcheck.io import read_table, write_table
+        path = str(tmp_path / "tbl2")
+        clips = generate_audio_clips(spark, 2000, with_bytes=False, num_partitions=2)
+        sid = write_table(clips, path)
+        df, manifest = read_table(spark, path)
+        suite = ExpectationSuite("s").add(
+            "expect_column_values_to_not_be_null", column="clip_id", mostly=0.9)
+        store = str(tmp_path / "st")
+        cp = Checkpoint(store, suite, group_key="clip_id", n_groups=2)
+        cp.run(df, snapshot_id=manifest["snapshot_id"])
+        v = cp.verdicts(spark).collect()
+        assert {r["snapshot_id"] for r in v} == {sid}
