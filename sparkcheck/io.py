@@ -109,9 +109,12 @@ def generate_audio_clips(
     with_bytes: bool = True,
     audio_ms_cap: int = 120,
     num_partitions: int = 32,
+    dur_drift: float = 0.0,
 ) -> DataFrame:
     """The synthetic audio table. ``clean=True`` => the golden reference twin
-    (canonical ids, no violations — FIXTURES.md §2)."""
+    (canonical ids, no violations — FIXTURES.md §2). ``dur_drift`` shifts the
+    lognormal duration mu by that amount (FIXTURES.md: +0.3 triggers the
+    KS/PSI/KL drift checks against a clean-profile baseline)."""
 
     def gen(batches):
         for pdf in batches:
@@ -121,6 +124,10 @@ def generate_audio_clips(
                 dup_mask = (idx % DUP_MOD == DUP_REM) & (idx > 0)
                 eff = np.where(dup_mask, idx - 1, idx)  # duplicates copy row i-1
             base = _base_fields(eff, seed)
+            if dur_drift:
+                base["dur_ms"] = np.clip(
+                    base["dur_ms"].astype(np.float64) * np.exp(dur_drift),
+                    200, 30000).astype(np.int64)
             out = pd.DataFrame({
                 "clip_id": [f"clip-{int(e):010d}" for e in eff],
                 "sr_hz": base["sr_hz"].astype("int32"),
@@ -287,6 +294,27 @@ def read_table(spark: SparkSession, path: str,
     manifest = {"snapshot_id": sid, "format": "parquet",
                 "parent": snap.get("parent"), "lineage": lineage}
     return df, manifest
+
+
+def read_table_delta(spark: SparkSession, path: str, since_snapshot_id: str,
+                     snapshot_id: str | None = None) -> tuple[DataFrame, dict]:
+    """Incremental read: only the files committed AFTER `since_snapshot_id`
+    up to `snapshot_id` (default current) — Iceberg incremental-scan
+    semantics. The 10^12-row validation loop validates each append delta
+    once and trusts the committed verdicts for earlier snapshots."""
+    log = _load_log(path)
+    sid = snapshot_id or log["current"]
+    target = next((s for s in log["snapshots"] if s["id"] == sid), None)
+    base = next((s for s in log["snapshots"] if s["id"] == since_snapshot_id), None)
+    if target is None or base is None:
+        raise KeyError(f"unknown snapshot: {sid if target is None else since_snapshot_id}")
+    delta_dirs = [d for d in target["dirs"] if d not in set(base["dirs"])]
+    manifest = {"snapshot_id": sid, "since": since_snapshot_id,
+                "format": "parquet", "delta_dirs": delta_dirs}
+    if not delta_dirs:
+        df = spark.read.parquet(os.path.join(path, target["dirs"][0])).limit(0)
+        return df, manifest
+    return spark.read.parquet(*[os.path.join(path, d) for d in delta_dirs]), manifest
 
 
 def snapshots(path: str) -> list[dict]:

@@ -345,3 +345,70 @@ class TestSnapshotIO:
         cp.run(df, snapshot_id=manifest["snapshot_id"])
         v = cp.verdicts(spark).collect()
         assert {r["snapshot_id"] for r in v} == {sid}
+
+
+class TestProfileDrift:
+    def test_profile_driven_drift_detection_end_to_end(self, spark):
+        """North-star loop: profile a clean snapshot once -> generate a
+        bounds+drift suite -> a later snapshot with shifted duration
+        distribution (mu + 0.3) fails the KL/PSI checks while an unshifted
+        snapshot passes."""
+        from sparkcheck import build_reference_profile, suite_from_profile, validate
+        baseline = generate_audio_clips(spark, 20_000, clean=True,
+                                        with_bytes=False, num_partitions=4)
+        profile = build_reference_profile(baseline, ["dur_ms", "sr_hz"], quantiles=[])
+        suite = suite_from_profile(profile, drift_threshold=0.05)
+
+        ok = generate_audio_clips(spark, 20_000, clean=True, seed=43,
+                                  with_bytes=False, num_partitions=4)
+        res_ok = validate(ok, suite)
+        drift_ok = [r for r in res_ok.results
+                    if "kl_divergence" in r.expectation_config.expectation_type
+                    and r.expectation_config.kwargs["column"] == "dur_ms"]
+        assert drift_ok and all(r.success for r in drift_ok)
+
+        drifted = generate_audio_clips(spark, 20_000, clean=True, seed=43,
+                                       with_bytes=False, num_partitions=4,
+                                       dur_drift=0.3)
+        res_bad = validate(drifted, suite)
+        bad = {r.expectation_config.expectation_type: r for r in res_bad.results
+               if r.expectation_config.kwargs.get("column") == "dur_ms"}
+        assert not bad["expect_column_kl_divergence_to_be_less_than"].success
+        assert not bad["expect_column_psi_to_be_less_than"].success
+        assert not res_bad.success
+
+    def test_incremental_delta_validation(self, spark, tmp_path):
+        """Append-snapshot deltas validate incrementally: each epoch's
+        verdicts cover exactly the new rows; summed counts equal a full
+        validation of the final snapshot."""
+        from sparkcheck.io import read_table, read_table_delta, write_table
+        path = str(tmp_path / "inc")
+        s1 = write_table(
+            generate_audio_clips(spark, 4000, with_bytes=False, num_partitions=2), path)
+        suite = ExpectationSuite("inc").add(
+            "expect_column_values_to_be_between",
+            column="sr_hz", min_value=8000, max_value=48000, mostly=0.9)
+        store = str(tmp_path / "store_inc")
+        df1, m1 = read_table(spark, path)
+        cp = Checkpoint(store, suite, group_key="clip_id", n_groups=2)
+        cp.run(df1, snapshot_id=m1["snapshot_id"])
+
+        # append 2000 more rows (different index range via offset trick)
+        more = (generate_audio_clips(spark, 6000, with_bytes=False, num_partitions=2)
+                .filter("clip_id IS NULL OR clip_id >= 'clip-0000004000'"))
+        s2 = write_table(more, path, mode="append")
+        delta, dm = read_table_delta(spark, path, since_snapshot_id=s1)
+        assert dm["delta_dirs"] and dm["since"] == s1
+        cp2 = Checkpoint(str(tmp_path / "store_inc2"), suite, group_key="clip_id", n_groups=2)
+        cp2.run(delta, snapshot_id=s2)
+
+        total_delta = delta.count()
+        assert total_delta == more.count()
+        full, _ = read_table(spark, path)
+        v1 = cp.verdicts(spark).agg({"element_count": "sum"}).first()[0]
+        v2 = cp2.verdicts(spark).agg({"element_count": "sum"}).first()[0]
+        assert v1 + v2 == full.count()
+
+        # empty delta when nothing new
+        empty, em = read_table_delta(spark, path, since_snapshot_id=s2)
+        assert empty.count() == 0 and em["delta_dirs"] == []
