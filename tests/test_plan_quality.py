@@ -1,0 +1,104 @@
+"""Physical-plan quality gates: the fused pass must keep its scan pruned and
+its filters pushed down — regression tests on `.explain` output, not just on
+results (SURVEY.md §4 rows 4/5)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck.planner import compile_suite
+from sparkcheck.types import ExpectationConfiguration as EC
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    from sparkcheck.io import generate_audio_clips
+    path = str(tmp_path_factory.mktemp("plan") / "clips")
+    generate_audio_clips(spark, 5000, num_partitions=4).write.parquet(path)
+    return path
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial plans; keep only the final one
+    return txt.split("== Initial Plan ==")[0]
+
+
+def _fused_agg(spark, clips_path, configs, row_condition=None):
+    df = spark.read.parquet(clips_path)
+    if row_condition:
+        df = df.filter(row_condition)
+    plan = compile_suite(configs)
+    dp = next(iter(plan.domains.values()))
+    return df.agg(*dp.slot_table.agg_list)
+
+
+def test_fused_pass_never_reads_binary(spark, clips_path):
+    agg = _fused_agg(spark, clips_path, [
+        EC("expect_column_values_to_not_be_null", {"column": "clip_id"}),
+        EC("expect_column_values_to_be_between",
+           {"column": "sr_hz", "min_value": 8000, "max_value": 48000}),
+        EC("expect_column_mean_to_be_between",
+           {"column": "dur_ms", "min_value": 0, "max_value": 10**9}),
+        EC("expect_audio_snr_vs_reference_to_be_above", {"reference_table": "r"}),
+        EC("expect_column_kl_divergence_to_be_less_than",
+           {"column": "dur_ms",
+            "partition_object": {"bins": [0, 3000, 30000], "weights": [0.5, 0.5]},
+            "threshold": 10}),
+    ])
+    txt = _executed_plan(agg)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert m, txt[:500]
+    read_cols = m.group(1)
+    assert "bytes" not in read_cols, f"binary column leaked into the fused scan: {read_cols}"
+    assert "transcript" not in read_cols  # unused column pruned too
+    for c in ("clip_id", "sr_hz", "dur_ms"):
+        assert c in read_cols
+
+
+def test_row_condition_reaches_parquet_scan(spark, clips_path):
+    agg = _fused_agg(spark, clips_path,
+                     [EC("expect_table_row_count_to_be_between", {"min_value": 0})],
+                     row_condition="codec = 'wav'")
+    txt = _executed_plan(agg)
+    m = re.search(r"PushedFilters: (\[[^\]]*\])", txt)
+    assert m and "EqualTo(codec,wav)" in m.group(1), txt[:800]
+
+
+def test_suite_is_one_scan_per_domain(spark, clips_path):
+    """All fused metrics of a domain share ONE FileScan (the whole point of
+    the fused-slot planner)."""
+    agg = _fused_agg(spark, clips_path, [
+        EC("expect_column_values_to_not_be_null", {"column": "clip_id"}),
+        EC("expect_column_values_to_match_regex",
+           {"column": "clip_id", "regex": "^clip-"}),
+        EC("expect_column_values_to_be_in_set",
+           {"column": "codec", "value_set": ["wav", "flac", "mp3", "opus"]}),
+        EC("expect_column_mean_to_be_between",
+           {"column": "dur_ms", "min_value": 0, "max_value": 10**9}),
+        EC("expect_column_stdev_to_be_between",
+           {"column": "dur_ms", "min_value": 0, "max_value": 10**9}),
+    ])
+    txt = _executed_plan(agg)
+    assert txt.count("FileScan parquet") == 1, txt[:800]
+
+
+def test_salted_repartition_breaks_hot_key(spark):
+    """North-rule skew handling: 80% of rows share codec='wav'; salting
+    spreads the hot key across partitions instead of one straggler."""
+    from sparkcheck.io import generate_audio_clips
+    from sparkcheck.metrics.audio import salted_repartition
+    clips = generate_audio_clips(spark, 20_000, with_bytes=False, num_partitions=4)
+    plain = clips.repartition(8, F.col("codec"))
+    sizes_plain = [r["count"] for r in plain.groupBy(F.spark_partition_id().alias("p"))
+                   .count().collect()]
+    salted = salted_repartition(clips, "codec", n_salts=16, num_partitions=8)
+    sizes_salted = [r["count"] for r in salted.groupBy(F.spark_partition_id().alias("p"))
+                    .count().collect()]
+    # hash-partitioning by codec leaves >=80% of rows in one partition;
+    # salting caps the biggest partition near the even share
+    assert max(sizes_plain) > 0.75 * 20_000
+    assert max(sizes_salted) < 0.35 * 20_000
+    assert sum(sizes_salted) == 20_000
