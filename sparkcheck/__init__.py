@@ -8,9 +8,12 @@ domain (SURVEY.md §4), per-partition verdicts via rollup, sketches
 for per-row audio invariants. No reference code is copied.
 """
 
+from . import splitters
 from .checkpoint import Checkpoint, run_checkpoint
+from .io import read_table, read_table_delta, snapshots, write_table
 from .profiler import build_reference_profile, suite_from_profile
-from .runner import ValidationRun, validate
+from .runner import ValidationRun, resolve_evaluation_parameters, validate
+from .streaming import StreamValidator, validate_stream
 from .types import (
     ExpectationConfiguration,
     ExpectationSuite,
@@ -27,10 +30,18 @@ __all__ = [
     "ExpectationSuite",
     "ExpectationSuiteValidationResult",
     "ExpectationValidationResult",
+    "StreamValidator",
     "ValidationRun",
     "Validator",
     "build_reference_profile",
+    "read_table",
+    "read_table_delta",
+    "resolve_evaluation_parameters",
     "run_checkpoint",
+    "snapshots",
+    "splitters",
     "suite_from_profile",
     "validate",
+    "validate_stream",
+    "write_table",
 ]
