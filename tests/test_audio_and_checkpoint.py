@@ -412,3 +412,23 @@ class TestProfileDrift:
         # empty delta when nothing new
         empty, em = read_table_delta(spark, path, since_snapshot_id=s2)
         assert empty.count() == 0 and em["delta_dirs"] == []
+
+    def test_audio_snr_per_partition_verdicts_via_column_groups(self, spark, tmp_path):
+        """Per-partition verdicts for the per-row audio invariant: column-mode
+        checkpoint groups validate each codec partition separately, so even
+        join-backed expectations get per-partition pass/fail rows."""
+        dirty = generate_audio_clips(spark, 3000, num_partitions=4)
+        clean = generate_audio_clips(spark, 3000, clean=True, num_partitions=4)
+        suite = ExpectationSuite("snr").add(
+            "expect_audio_snr_vs_reference_to_be_above",
+            reference_table="ref", min_snr_db=30.0, mostly=0.9)
+        store = str(tmp_path / "snr_groups")
+        cp = Checkpoint(store, suite, group_key="codec", group_mode="column",
+                        tables={"ref": clean})
+        cp.run(dirty)
+        v = cp.verdicts(spark).collect()
+        n_codecs = dirty.select("codec").distinct().count()
+        assert len(v) == n_codecs
+        total = sum(r["unexpected_count"] for r in v)
+        direct = validate(dirty, suite, tables={"ref": clean}).results[0]
+        assert total == direct.result["unexpected_count"]
