@@ -298,15 +298,27 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
     # on binary columns and stay JVM-side. xxhash64 hashes NULL input to the
     # seed (it never returns null), so null payloads must be masked explicitly
     # to keep the nonnull/missing semantics of the decode path.
-    def _hashes(src, h1, h2):
+    #
+    # `hash_column` / `ref_hash_column`: tables that precompute the payload
+    # hash at ingest skip the binary scan entirely — the prescreen becomes a
+    # narrow-column join (at 100 TB the hash pass reads ~16 B/row instead of
+    # the audio). The stored hash must be null iff the payload is null.
+    hash_col = kw.get("hash_column")
+    ref_hash_col = kw.get("ref_hash_column", hash_col)
+
+    def _hashes(src, h1, h2, stored):
+        if stored:
+            return src.select(
+                F.col(key).alias("__k"),
+                F.col(stored).alias(h1), F.col(stored).alias(h2))
         nn = F.col(bytes_col).isNotNull()
         return src.select(
             F.col(key).alias("__k"),
             F.when(nn, F.xxhash64(F.col(bytes_col))).alias(h1),
             F.when(nn, F.crc32(F.col(bytes_col))).alias(h2))
 
-    h_l = _hashes(dfd, "__h1", "__h2")
-    h_r = _hashes(ref, "__rh1", "__rh2")
+    h_l = _hashes(dfd, "__h1", "__h2", hash_col)
+    h_r = _hashes(ref, "__rh1", "__rh2", ref_hash_col)
     hj = h_l.join(h_r, "__k", "left").select(
         "__k", F.col("__h1").isNotNull().alias("__nn"),
         F.col("__rh1").isNotNull().alias("__has_ref"),

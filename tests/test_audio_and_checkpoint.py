@@ -432,3 +432,23 @@ class TestProfileDrift:
         total = sum(r["unexpected_count"] for r in v)
         direct = validate(dirty, suite, tables={"ref": clean}).results[0]
         assert total == direct.result["unexpected_count"]
+
+    def test_snr_with_precomputed_hash_column(self, spark):
+        """hash_column: the prescreen join runs on a stored ingest-time hash
+        (no binary scan); results equal the on-the-fly-hash path."""
+        from pyspark.sql import functions as F
+        from sparkcheck.io import generate_audio_clips
+        dirty = generate_audio_clips(spark, 3000, num_partitions=4).withColumn(
+            "payload_h", F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+        clean = generate_audio_clips(spark, 3000, clean=True, num_partitions=4).withColumn(
+            "payload_h", F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+        def run(**kw):
+            suite = ExpectationSuite("snr").add(
+                "expect_audio_snr_vs_reference_to_be_above",
+                reference_table="ref", min_snr_db=30.0, **kw)
+            return validate(dirty, suite, tables={"ref": clean}).results[0]
+        a = run(hash_column="payload_h")
+        b = run()
+        assert a.result["unexpected_count"] == b.result["unexpected_count"]
+        assert a.result["element_count"] == b.result["element_count"]
+        assert a.success == b.success
