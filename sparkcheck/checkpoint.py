@@ -225,6 +225,30 @@ class Checkpoint:
                   "unexpected_count bigint, n_groups bigint")
 
 
+def parameters_from_verdicts(spark, store_path: str) -> dict:
+    """Derive evaluation parameters from a committed verdict store — the
+    reference resolves `$PARAMETER` URNs against its validation-result store
+    (core/evaluation_parameters.py:199-304, urn grammar :105-110); ours reads
+    the checkpoint results table. Returns keys like
+    ``<expectation_type>:<domain>:element_count`` plus ``table.row_count``
+    (max element count over expectations), usable as
+    ``validate(..., evaluation_parameters=...)`` inputs for cross-run checks
+    (e.g. today's row count must equal yesterday's)."""
+    from pyspark.sql import functions as F
+    v = spark.read.parquet(os.path.join(store_path, "verdicts"))
+    agg = (v.groupBy("expectation_type", "domain")
+           .agg(F.sum("element_count").alias("element_count"),
+                F.sum("unexpected_count").alias("unexpected_count")).collect())
+    params: dict = {}
+    for r in agg:
+        base = f"{r['expectation_type']}:{r['domain']}"
+        params[f"{base}:element_count"] = int(r["element_count"])
+        params[f"{base}:unexpected_count"] = int(r["unexpected_count"])
+    if agg:
+        params["table.row_count"] = max(int(r["element_count"]) for r in agg)
+    return params
+
+
 def run_checkpoint(df: DataFrame, suite: ExpectationSuite, store_path: str, *,
                    group_key: str, n_groups: int = 8,
                    tables: dict[str, DataFrame] | None = None,

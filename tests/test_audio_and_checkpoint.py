@@ -452,3 +452,22 @@ class TestProfileDrift:
         assert a.result["unexpected_count"] == b.result["unexpected_count"]
         assert a.result["element_count"] == b.result["element_count"]
         assert a.success == b.success
+
+    def test_cross_run_evaluation_parameters(self, spark, tmp_path):
+        """Reference URN-store mechanism, ours: yesterday's committed verdicts
+        feed today's $PARAMETER kwargs (row-count equality across runs)."""
+        from sparkcheck.checkpoint import parameters_from_verdicts
+        clips = generate_audio_clips(spark, 3000, with_bytes=False, num_partitions=2)
+        suite = ExpectationSuite("day1").add(
+            "expect_column_values_to_not_be_null", column="clip_id", mostly=0.9)
+        store = str(tmp_path / "day1")
+        Checkpoint(store, suite, group_key="clip_id", n_groups=2).run(clips)
+        params = parameters_from_verdicts(spark, store)
+        assert params["table.row_count"] == 3000
+
+        today = generate_audio_clips(spark, 3000, with_bytes=False, num_partitions=2)
+        s2 = ExpectationSuite("day2").add(
+            "expect_table_row_count_to_equal", value={"$PARAMETER": "table.row_count"})
+        assert validate(today, s2, evaluation_parameters=params).success
+        shrunk = today.limit(2000)
+        assert not validate(shrunk, s2, evaluation_parameters=params).success
