@@ -118,7 +118,7 @@ def q_ge_not_null(spark, sf_dir):
 
 _SQL_NOT_NULL = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN nullif(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN nullif(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(*) - sum(CASE WHEN nullif(o_orderstatus,'P') IS NULL THEN 1 ELSE 0 END))
          >= 0.5 * count(*) AS success
 FROM orders
@@ -134,8 +134,8 @@ def q_ge_between(spark, sf_dir):
 
 _SQL_BETWEEN = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity BETWEEN 5 AND 45)
-                THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity BETWEEN 5 AND 45)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity BETWEEN 5 AND 45)
                 THEN 1 ELSE 0 END) = 0 AS success
 FROM lineitem
@@ -152,9 +152,9 @@ def q_ge_in_set(spark, sf_dir):
 
 _SQL_IN_SET = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN o_orderpriority IS NOT NULL
+       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
                 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
-                THEN 1 ELSE 0 END) AS unexpected_count,
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(*) FILTER (o_orderpriority IS NOT NULL)
         - sum(CASE WHEN o_orderpriority IS NOT NULL
                    AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
@@ -173,9 +173,9 @@ def q_ge_regex(spark, sf_dir):
 
 _SQL_REGEX = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN c_name IS NOT NULL
+       CAST(sum(CASE WHEN c_name IS NOT NULL
                 AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
-                THEN 1 ELSE 0 END) AS unexpected_count,
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        sum(CASE WHEN c_name IS NOT NULL
                 AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
                 THEN 1 ELSE 0 END) = 0 AS success
@@ -192,8 +192,8 @@ def q_ge_value_length(spark, sf_dir):
 
 _SQL_VALUE_LENGTH = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN p_name IS NOT NULL AND NOT (length(p_name) BETWEEN 5 AND 30)
-                THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN p_name IS NOT NULL AND NOT (length(p_name) BETWEEN 5 AND 30)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(*) FILTER (p_name IS NOT NULL)
         - sum(CASE WHEN p_name IS NOT NULL AND NOT (length(p_name) BETWEEN 5 AND 30)
                    THEN 1 ELSE 0 END))
@@ -220,11 +220,11 @@ def q_ge_unique(spark, sf_dir):
 
 _SQL_UNIQUE = """
 WITH a AS (
-  SELECT coalesce(sum(c),0) AS dup_rows, count(*) AS dup_groups
+  SELECT CAST(coalesce(sum(c),0) AS BIGINT) AS dup_rows, count(*) AS dup_groups
   FROM (SELECT count(*) c FROM orders WHERE o_orderkey IS NOT NULL
         GROUP BY o_orderkey HAVING count(*)>1)),
 b AS (
-  SELECT coalesce(sum(c),0) AS dup_rows, count(*) AS dup_groups
+  SELECT CAST(coalesce(sum(c),0) AS BIGINT) AS dup_rows, count(*) AS dup_groups
   FROM (SELECT count(*) c FROM lineitem
         WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
         GROUP BY l_orderkey, l_linenumber HAVING count(*)>1))
@@ -356,8 +356,8 @@ def q_ge_zscore(spark, sf_dir):
 _SQL_ZSCORE = """
 WITH s AS (SELECT avg(o_totalprice) m, stddev_samp(o_totalprice) sd FROM orders)
 SELECT count(*) AS element_count,
-       sum(CASE WHEN o_totalprice IS NOT NULL
-                AND abs((o_totalprice - s.m)/s.sd) >= 3.0 THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                AND abs((o_totalprice - s.m)/s.sd) >= 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(*) FILTER (o_totalprice IS NOT NULL)
         - sum(CASE WHEN o_totalprice IS NOT NULL
                    AND abs((o_totalprice - s.m)/s.sd) >= 3.0 THEN 1 ELSE 0 END))
@@ -411,8 +411,8 @@ def q_ge_pair_greater(spark, sf_dir):
 
 _SQL_PAIR_GREATER = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
-                AND NOT (l.l_shipdate >= o.o_orderdate) THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+                AND NOT (l.l_shipdate >= o.o_orderdate) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(*) FILTER (l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL)
         - sum(CASE WHEN l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
                    AND NOT (l.l_shipdate >= o.o_orderdate) THEN 1 ELSE 0 END))
@@ -435,8 +435,8 @@ WITH w AS (
   SELECT value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
   FROM events)
 SELECT (SELECT count(*) FROM events) AS element_count,
-       sum(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev
-                THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        ((SELECT count(*) FROM events WHERE value IS NOT NULL)
         - sum(CASE WHEN value IS NOT NULL AND prev IS NOT NULL AND value < prev
                    THEN 1 ELSE 0 END))
@@ -454,8 +454,8 @@ def q_ge_json(spark, sf_dir):
 
 _SQL_JSON = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
-                THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
                 THEN 1 ELSE 0 END) = 0 AS success
 FROM events
@@ -494,8 +494,8 @@ def q_ge_like(spark, sf_dir):
 
 _SQL_LIKE = """
 SELECT count(*) AS element_count,
-       sum(CASE WHEN p_type IS NOT NULL AND p_type NOT LIKE '%TIN'
-                THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN p_type IS NOT NULL AND p_type NOT LIKE '%TIN'
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(p_type)
         - sum(CASE WHEN p_type IS NOT NULL AND p_type NOT LIKE '%TIN'
                    THEN 1 ELSE 0 END)) >= 0.05 * count(p_type) AS success
@@ -519,7 +519,7 @@ _SQL_STRFTIME = """
 WITH d AS (SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'not-a-date'
                        ELSE strftime(l_shipdate, '%Y-%m-%d') END AS s FROM lineitem)
 SELECT count(*) AS element_count,
-       sum(CASE WHEN try_strptime(s, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS unexpected_count,
+       CAST(sum(CASE WHEN try_strptime(s, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
        (count(s) - sum(CASE WHEN try_strptime(s, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END))
          >= 0.5 * count(s) AS success
 FROM d

@@ -58,8 +58,19 @@ def test_query_matches_oracle(spark, ddb, name):
         assert len(srows) >= 0  # rows-only check
         return
     cur = ddb.execute(sql)
-    drows = cur.fetchall()
-    dcols = [d[0] for d in cur.description]
+    dpdf = cur.df()
+    drows = [tuple(r) for r in dpdf.itertuples(index=False)]
+    dcols = list(dpdf.columns)
+    # Driver hash check is type-sensitive (it compares serialized values, so
+    # DuckDB HUGEINT->float64 vs Spark BIGINT->int64 mismatches). Gate on
+    # pandas dtype *kind* equality per column.
+    spdf = sdf.toPandas()
+    skinds = {c: spdf[c].dtype.kind for c in spdf.columns}
+    dkinds = {c: dpdf[c].dtype.kind for c in dpdf.columns}
+    kind_diffs = {c: (skinds.get(c), dkinds.get(c))
+                  for c in set(skinds) | set(dkinds)
+                  if skinds.get(c) != dkinds.get(c)}
+    assert not kind_diffs, f"{name}: dtype-kind mismatch {kind_diffs}"
     sset, scolnames = _rows_to_multiset(scols, srows)
     dset, dcolnames = _rows_to_multiset(dcols, drows)
     assert scolnames == dcolnames, f"{name}: column mismatch {scolnames} vs {dcolnames}"
