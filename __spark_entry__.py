@@ -4,8 +4,11 @@
 `queries()` exposes one entry per implemented operator from SURVEY.md §2
 (validation engine operators + training-data-pipeline ops); `oracle_sql()`
 gives the DuckDB-equivalent ANSI SQL for each (same column names, same
-rounding). Entries without an oracle are genuinely non-SQL-expressible
-(audio-binary invariants) and get the driver's rows-only check.
+rounding). The audio queries' oracles are literal expected values computed
+by an independent closed-form numpy replay of the fixture arithmetic
+(sparkcheck.io.expected_*) — binary decode itself is not SQL-expressible,
+but the fixture injects violations at fixed index arithmetic so the checkable
+outputs (counts, verdicts, rounded aggregates) are.
 
 Conventions for oracle parity:
 - every count is BIGINT, every float is rounded explicitly (both sides),
@@ -908,13 +911,14 @@ FROM s GROUP BY 1, 2
 """
 
 
-# ------------------------------------------- audio (non-SQL, rows-only check)
+# ---------------------- audio (binary decode; closed-form literal oracles)
 
 
 def q_audio_snr(spark, sf_dir):
     """Per-row audio invariant: decoded-PCM SNR>=30dB vs reference clips
     (Arrow pandas UDF over an equi-join). Binary decode is not
-    SQL-expressible -> rows-only check. Input synthesized deterministically
+    SQL-expressible; oracle = closed-form literal counts
+    (io.expected_snr_summary). Input synthesized deterministically
     (seed=42) — no external data."""
     from sparkcheck import ExpectationSuite, validate
     from sparkcheck.io import generate_audio_clips
@@ -953,7 +957,7 @@ def q_audio_suite_partitions(spark, sf_dir):
 def q_audio_features(spark, sf_dir):
     """Multimodal feature extraction (decode -> rms/peak/clipping/header)
     over deterministic synthetic clips (seed=42) — binary decode is not
-    SQL-expressible -> rows-only check."""
+    SQL-expressible; oracle = closed-form literals (io.expected_features_summary)."""
     from sparkcheck.io import generate_audio_clips
     from sparkcheck.pipeline.audio_features import extract_audio_features
     clips = generate_audio_clips(spark, 2000, clean=True, num_partitions=8)
@@ -968,7 +972,7 @@ def q_audio_features(spark, sf_dir):
 
 def q_audio_header_check(spark, sf_dir):
     """Header-vs-metadata consistency expectation (RIFF sr == sr_hz column)
-    with closed-form violation sites — rows-only check."""
+    with closed-form violation sites (oracle = io.expected_header_summary)."""
     from sparkcheck import ExpectationSuite, validate
     from sparkcheck.io import generate_audio_clips
     dirty = generate_audio_clips(spark, 4000, num_partitions=8)
@@ -981,7 +985,7 @@ def q_audio_header_check(spark, sf_dir):
 
 
 def q_audio_frame_rms(spark, sf_dir):
-    """Frame-sampled RMS (video-frame-sampling analogue) — rows-only check."""
+    """Frame-sampled RMS (video-frame-sampling analogue); oracle = io.expected_frame_rms_summary."""
     from sparkcheck.io import generate_audio_clips
     from sparkcheck.pipeline.audio_features import frame_rms
     clips = generate_audio_clips(spark, 500, clean=True, num_partitions=4)
@@ -1108,5 +1112,50 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _SQL_TEXT_TOKENS,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_TEXT_LANGID,
-        # audio_* : binary decode — non-SQL-expressible, rows-only check
+        **_audio_oracle_sql(),
+    }
+
+
+def _audio_oracle_sql() -> dict[str, str]:
+    """Literal-value oracles for the audio queries. The fixture injects every
+    violation at fixed index arithmetic (sparkcheck/io.py FIXTURES.md §4), so
+    the expected outputs are computable in closed form by an independent
+    numpy replay (sparkcheck.io.expected_* — single-process, no Spark, no WAV
+    container round-trip). The SQL is pure literals: DuckDB evaluates the
+    expected values; Spark runs the real distributed decode/join/aggregate."""
+    from sparkcheck.io import (expected_features_summary,
+                               expected_frame_rms_summary,
+                               expected_header_summary,
+                               expected_partition_verdicts,
+                               expected_snr_summary)
+
+    def counts_sql(s: dict) -> str:
+        return (f"SELECT CAST({s['element_count']} AS BIGINT) AS element_count, "
+                f"CAST({s['unexpected_count']} AS BIGINT) AS unexpected_count, "
+                f"{str(bool(s['success'])).upper()} AS success")
+
+    feats = expected_features_summary(2000)
+    frms = expected_frame_rms_summary(500)
+    pv = expected_partition_verdicts(10_000, 8)
+    pv_rows = ",\n  ".join(
+        f"({r['partition_id']}, '{r['expectation_type']}', '{r['domain']}', "
+        f"{str(bool(r['success'])).upper()}, {r['unexpected_count']})" for r in pv)
+    return {
+        "audio_snr_invariant": counts_sql(expected_snr_summary(3000)),
+        "audio_header_check": counts_sql(expected_header_summary(4000)),
+        "audio_features": (
+            f"SELECT CAST({feats['n_clips']} AS BIGINT) AS n_clips, "
+            f"CAST({feats['decoded']} AS BIGINT) AS decoded, "
+            f"CAST({feats['avg_rms']!r} AS DOUBLE) AS avg_rms, "
+            f"CAST({feats['max_peak']!r} AS DOUBLE) AS max_peak, "
+            f"CAST({feats['total_samples']} AS BIGINT) AS total_samples"),
+        "audio_frame_rms": (
+            f"SELECT CAST({frms['n_frames']} AS BIGINT) AS n_frames, "
+            f"CAST({frms['avg_rms']!r} AS DOUBLE) AS avg_rms, "
+            f"CAST({frms['n_clips']} AS BIGINT) AS n_clips"),
+        "audio_suite_partitions": (
+            "SELECT CAST(partition_id AS INT) AS partition_id, expectation_type, "
+            "domain, success, CAST(unexpected_count AS BIGINT) AS unexpected_count "
+            f"FROM (VALUES\n  {pv_rows}\n) "
+            "AS t(partition_id, expectation_type, domain, success, unexpected_count)"),
     }

@@ -320,3 +320,134 @@ def read_table_delta(spark: SparkSession, path: str, since_snapshot_id: str,
 def snapshots(path: str) -> list[dict]:
     """The committed snapshot log (oldest first)."""
     return _load_log(path)["snapshots"]
+
+
+# ------------------------------------------- closed-form oracle summaries
+#
+# Independent numpy replications of the fixture arithmetic (no Spark, no
+# WAV container round-trip) so the driver's DuckDB oracle can check the
+# audio queries with literal expected values. Each function replays the
+# same index arithmetic / float32 sample math as the generator + engine,
+# but through a completely separate single-process code path — verifying
+# the distributed decode/join/aggregate plumbing end-to-end.
+
+
+def _violation_masks(n_rows: int) -> dict[str, np.ndarray]:
+    i = np.arange(n_rows)
+    return {
+        "i": i,
+        "dup": (i % DUP_MOD == DUP_REM) & (i > 0),
+        "null_id": i % NULLID_MOD == NULLID_REM,
+        "bad_id": i % BADID_MOD == BADID_REM,
+        "orphan": i % ORPHAN_MOD == ORPHAN_REM,
+        "bad_sr": i % BADSR_MOD == BADSR_REM,
+        "bad_codec": i % BADCODEC_MOD == BADCODEC_REM,
+        "null_tr": i % NULLTR_MOD == NULLTR_REM,
+        "diff_tr": i % DIFFTR_MOD == DIFFTR_REM,
+        "bad_bytes": i % BADBYTES_MOD == BADBYTES_REM,
+        "null_bytes": i % NULLBYTES_MOD == NULLBYTES_REM,
+    }
+
+
+def expected_snr_summary(n_rows: int, *, min_snr_db: float = 30.0) -> dict:
+    """(element, unexpected, success) for expect_audio_snr_vs_reference:
+    unexpected = non-null-bytes rows with a missing/unjoinable reference id
+    (null/bad/orphan clip_id) or corrupted payload (detuned sine, SNR<30)."""
+    m = _violation_masks(n_rows)
+    nn = ~m["null_bytes"]
+    no_ref = m["null_id"] | m["bad_id"] | m["orphan"]
+    bad = nn & (no_ref | m["bad_bytes"])
+    return {"element_count": n_rows, "unexpected_count": int(bad.sum()),
+            "success": int(bad.sum()) == 0}
+
+
+def expected_header_summary(n_rows: int) -> dict:
+    """expect_audio_header_to_match_metadata: the bytes are encoded with the
+    clean base sr, the sr_hz column is corrupted afterwards at the BADSR
+    sites, so exactly those (non-null-bytes) rows mismatch."""
+    m = _violation_masks(n_rows)
+    bad = m["bad_sr"] & ~m["null_bytes"]
+    return {"element_count": n_rows, "unexpected_count": int(bad.sum()),
+            "success": int(bad.sum()) == 0}
+
+
+def expected_partition_verdicts(n_rows: int, num_partitions: int) -> list[dict]:
+    """Per-partition verdict rows for the metadata contract suite
+    (not_null clip_id / between sr_hz 8000..48000 / in_set codec).
+    spark.range splits [0, n) into contiguous chunks, so each partition's
+    violation counts replay the index arithmetic over its range."""
+    m = _violation_masks(n_rows)
+    # spark.range contiguous split: partition p covers [floor(p*n/P), floor((p+1)*n/P))
+    bounds = [int(n_rows * p / num_partitions) for p in range(num_partitions + 1)]
+    null_id = m["null_id"]
+    bad_sr = m["bad_sr"]
+    bad_codec = m["bad_codec"]
+    rows = []
+    for p in range(num_partitions):
+        lo, hi = bounds[p], bounds[p + 1]
+        for etype, domain, mask in (
+                ("expect_column_values_to_not_be_null", "clip_id", null_id),
+                ("expect_column_values_to_be_between", "sr_hz", bad_sr),
+                ("expect_column_values_to_be_in_set", "codec", bad_codec)):
+            u = int(mask[lo:hi].sum())
+            rows.append({"partition_id": p, "expectation_type": etype,
+                         "domain": domain, "success": u == 0,
+                         "unexpected_count": u})
+    return rows
+
+
+def _clean_pcm(i: int, sr: int, dur_ms: int, *, cap_ms: int) -> np.ndarray:
+    """float32 PCM exactly as decode_pcm(encode_wav_pcm16(...)) produces it:
+    int16 quantization then /32768 in float32."""
+    ms = min(int(dur_ms), cap_ms)
+    n = max(1, int(sr * ms / 1000))
+    freq = 200.0 + (i % 200)
+    t = np.arange(n, dtype=np.float64) / sr
+    samples = (0.5 * np.sin(2 * np.pi * freq * t) * 32767.0).astype(np.int16)
+    v = samples.astype(np.float32)
+    v /= np.float32(32768.0)
+    return v
+
+
+def expected_features_summary(n_rows: int, *, seed: int = 42,
+                              cap_ms: int = 120, round_nd: int = 4) -> dict:
+    """Aggregate of extract_audio_features over the CLEAN table: replays the
+    sine/int16/float32 math per clip (same ops as the engine's decode)."""
+    idx = np.arange(n_rows)
+    base = _base_fields(idx, seed)
+    total, rms_vals, peak = 0, [], 0.0
+    for i in range(n_rows):
+        pcm = _clean_pcm(i, int(base["sr_hz"][i]), int(base["dur_ms"][i]),
+                         cap_ms=cap_ms)
+        total += len(pcm)
+        rms_vals.append(float(np.sqrt(np.dot(pcm, pcm) / len(pcm))))
+        peak = max(peak, float(np.abs(pcm).max()))
+    return {"n_clips": n_rows, "decoded": n_rows,
+            "avg_rms": round(float(np.mean(np.array(rms_vals, dtype=np.float64))), round_nd),
+            "max_peak": round(peak, round_nd), "total_samples": total}
+
+
+def expected_frame_rms_summary(n_rows: int, *, seed: int = 42, cap_ms: int = 120,
+                               frame_ms: int = 25, hop_ms: int = 10,
+                               max_frames: int = 8, round_nd: int = 4) -> dict:
+    """Aggregate of frame_rms over the CLEAN table (same strided-window math
+    as the pipeline operator, replayed serially in float32)."""
+    idx = np.arange(n_rows)
+    base = _base_fields(idx, seed)
+    vals = []
+    n_clips = 0
+    for i in range(n_rows):
+        sr = int(base["sr_hz"][i])
+        pcm = _clean_pcm(i, sr, int(base["dur_ms"][i]), cap_ms=cap_ms)
+        win = max(1, int(sr * frame_ms / 1000))
+        hop = max(1, int(sr * hop_ms / 1000))
+        n_frames = min(max_frames, max(0, 1 + (len(pcm) - win) // hop))
+        if n_frames <= 0:
+            continue
+        n_clips += 1
+        w = (np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :])
+        frames = pcm[w]
+        vals.extend(np.sqrt(np.mean(frames * frames, axis=1)).tolist())
+    return {"n_frames": len(vals),
+            "avg_rms": round(float(np.mean(np.array(vals, dtype=np.float64))), round_nd),
+            "n_clips": n_clips}
