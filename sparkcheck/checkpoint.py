@@ -40,10 +40,63 @@ VERDICT_FIELDS = [
     "nonnull_count", "unexpected_count", "mostly", "unexpected_sample_json",
 ]
 
-# kinds whose global verdict is recomputable from summed (element, nonnull,
-# unexpected) counts — `mostly` semantics are NOT closed under AND-of-groups
-# (a suite can pass globally while single groups dip below the threshold)
-_COUNT_KINDS = {"map", "map_window", "map_unique", "map_dependent", "audio"}
+# Verdict stores are written with an explicit schema (`mostly` would otherwise
+# infer as a null-typed parquet column when a suite has no count-based
+# expectations) and a format version in the manifest so a reader never
+# silently mixes incompatible layouts.
+STORE_FORMAT_VERSION = 2
+
+VERDICT_SCHEMA = pa.schema([
+    ("group_id", pa.string()),
+    ("snapshot_id", pa.string()),
+    ("checkpoint_epoch", pa.int64()),
+    ("suite_name", pa.string()),
+    ("expectation_type", pa.string()),
+    ("domain", pa.string()),
+    ("success", pa.bool_()),
+    ("element_count", pa.int64()),
+    ("nonnull_count", pa.int64()),
+    ("unexpected_count", pa.int64()),
+    ("mostly", pa.float64()),
+    ("unexpected_sample_json", pa.string()),
+])
+
+# Kinds whose per-row verdict is group-local, so the GLOBAL verdict is
+# recomputable from summed (element, nonnull, unexpected) counts — `mostly`
+# semantics are NOT closed under AND-of-groups (a suite can pass globally
+# while single groups dip below the threshold). Only row-local kinds qualify
+# unconditionally:
+#   map / audio       — each row's pass/fail depends on that row alone.
+#   referential       — each row joins against the FULL other table
+#                       regardless of grouping.
+# Conditionally (decided per-expectation in run()):
+#   map_unique        — only when the grouping co-locates all rows of a
+#                       candidate duplicate value (checked column == group
+#                       key), else cross-group duplicates are invisible.
+#   map_window        — only when the window's `group_by` equals the group
+#                       key, so every window lives inside one group.
+#   map_dependent     — NEVER: z-scores are computed against each group's own
+#                       mean/std, not the table's; summed counts do not equal
+#                       the whole-table run. AND-of-groups is kept, with the
+#                       caveat that it answers "does every group pass against
+#                       its own distribution", not the global question.
+_COUNT_KINDS = {"map", "audio"}
+
+
+def _counts_are_global(kind: str, kw: dict, group_key: str,
+                       group_mode: str) -> bool:
+    """True when summed per-group counts equal the whole-table run."""
+    if kind in _COUNT_KINDS:
+        return True
+    if kind == "map_unique":
+        cols = kw.get("column_list") or ([kw["column"]] if kw.get("column") else [])
+        # hash/column grouping on the checked column co-locates every row of
+        # a duplicate value; for compound uniqueness the group key being ANY
+        # member column suffices (equal tuples agree on every member).
+        return group_key in cols
+    if kind == "map_window":
+        return kw.get("group_by") == group_key
+    return False
 
 
 class Checkpoint:
@@ -58,9 +111,11 @@ class Checkpoint:
         tables: dict[str, DataFrame] | None = None,
         result_format: str = "BASIC",
         unique_strategy: str = "exact",
+        max_groups: int = 10_000,
     ) -> None:
         if group_mode not in ("hash", "column"):
             raise ValueError(f"unknown group_mode: {group_mode}")
+        self.max_groups = max_groups
         self.store_path = store_path
         self.suite = suite
         self.group_key = group_key
@@ -80,7 +135,16 @@ class Checkpoint:
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                return json.load(f)
+                manifest = json.load(f)
+            found = manifest.get("format_version", 1)
+            if found != STORE_FORMAT_VERSION:
+                raise ValueError(
+                    f"verdict store at {self.store_path} has format_version "
+                    f"{found}, this engine writes {STORE_FORMAT_VERSION}; "
+                    "point the checkpoint at a fresh store_path (v1 stores "
+                    "used int group_id and lacked nonnull_count/mostly — "
+                    "they cannot be resumed or rolled up by this version)")
+            return manifest
         return {"committed_groups": [], "epoch": 0}
 
     def _commit(self, manifest: dict) -> None:
@@ -108,8 +172,19 @@ class Checkpoint:
 
     def _group_ids(self, df: DataFrame) -> list:
         if self.group_mode == "column":
-            rows = df.select(self.group_key).distinct().collect()
-            vals = sorted((r[0] for r in rows), key=lambda v: (v is None, str(v)))
+            # one full validation job per distinct value: cap the cardinality
+            # BEFORE collecting so a mis-pointed high-cardinality column
+            # (e.g. clip_id) can't launch millions of jobs / OOM the driver
+            probe = (df.select(self.group_key).distinct()
+                     .limit(self.max_groups + 1).collect())
+            if len(probe) > self.max_groups:
+                raise ValueError(
+                    f"group_mode='column' on '{self.group_key}' exceeds "
+                    f"max_groups={self.max_groups} distinct values — each "
+                    "value is a separate validation job; use "
+                    "group_mode='hash' for high-cardinality keys (or raise "
+                    "max_groups explicitly)")
+            vals = sorted((r[0] for r in probe), key=lambda v: (v is None, str(v)))
             return vals
         return list(range(self.n_groups))
 
@@ -147,9 +222,10 @@ class Checkpoint:
                 kw = evr.expectation_config.kwargs
                 etype = evr.expectation_config.expectation_type
                 try:
-                    count_based = (get_spec(etype).kind in _COUNT_KINDS
-                                   or (get_spec(etype).kind == "referential"
-                                       and "unexpected_count" in evr.result))
+                    kind = get_spec(etype).kind
+                    count_based = (
+                        _counts_are_global(kind, kw, self.group_key, self.group_mode)
+                        or (kind == "referential" and "unexpected_count" in evr.result))
                 except KeyError:
                     count_based = False
                 element = int(evr.result.get("element_count") or 0)
@@ -169,12 +245,13 @@ class Checkpoint:
                     float(kw.get("mostly", 1.0)) if count_based else None)
                 rows["unexpected_sample_json"].append(
                     json.dumps(evr.result.get("partial_unexpected_list", []), default=str))
-            table = pa.table(rows)
+            table = pa.table(rows, schema=VERDICT_SCHEMA)
             # idempotent per-group file: a crashed, uncommitted write is
             # simply overwritten on resume — no dup verdict rows
             pq.write_table(table, os.path.join(self.store_path, "verdicts", self._group_file(gid)))
             committed.add(str(gid))
             manifest = {"committed_groups": sorted(committed), "epoch": epoch,
+                        "format_version": STORE_FORMAT_VERSION,
                         "group_mode": self.group_mode,
                         "snapshot_id": snapshot_id, "suite": self.suite.expectation_suite_name}
             self._commit(manifest)
@@ -193,12 +270,18 @@ class Checkpoint:
     def rollup(self, spark) -> DataFrame:
         """Suite-level rollup over committed per-group verdicts.
 
-        For count-based expectations the GLOBAL verdict is recomputed from the
-        summed counts with the expectation's `mostly` threshold (AND-of-groups
-        is stricter than the global semantics — a suite can pass globally while
-        one group dips under `mostly`). Aggregate/bound expectations keep
-        AND-of-groups (`all_groups_success`); their global value is not
-        derivable from per-group verdicts."""
+        For expectations whose counts are group-local-decomposable (see
+        `_counts_are_global`) the GLOBAL verdict is recomputed from the summed
+        counts with the expectation's `mostly` threshold (AND-of-groups is
+        stricter than the global semantics — a suite can pass globally while
+        one group dips under `mostly`). Everything else keeps AND-of-groups
+        (`all_groups_success`). Caveats, by design: for uniqueness on a column
+        other than the group key, duplicates spanning two groups are invisible
+        to every per-group run; for windows not grouped by the group key, and
+        for z-scores (scored against each group's own mean/std), the rollup
+        answers "does every group pass on its own" — not the whole-table
+        question. Run those whole-table (validate()) when the global answer
+        is required."""
         from .results import mostly_success
         v = self.verdicts(spark)
         agg = (v.groupBy("expectation_type", "domain")

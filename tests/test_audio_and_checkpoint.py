@@ -194,6 +194,95 @@ class TestCheckpoint:
         assert roll["success"] == direct.results[0].success
 
 
+class TestRollupDecomposability:
+    """Only group-local expectations may use the summed-counts global
+    recompute; uniqueness/window/z-score keep AND-of-groups unless the
+    grouping makes them group-local (checkpoint._counts_are_global)."""
+
+    def test_counts_are_global_rules(self):
+        from sparkcheck.checkpoint import _counts_are_global as g
+        assert g("map", {}, "k", "hash")
+        assert g("audio", {}, "k", "hash")
+        assert not g("map_dependent", {}, "k", "hash")  # z-score: never
+        # uniqueness: global only when the group key is a checked column
+        assert g("map_unique", {"column": "k"}, "k", "hash")
+        assert not g("map_unique", {"column": "other"}, "k", "hash")
+        assert g("map_unique", {"column_list": ["a", "k"]}, "k", "hash")
+        assert not g("map_unique", {"column_list": ["a", "b"]}, "k", "hash")
+        # window: global only when windowed by the group key
+        assert g("map_window", {"group_by": "k"}, "k", "hash")
+        assert not g("map_window", {}, "k", "hash")
+        assert not g("map_window", {"group_by": "other"}, "k", "hash")
+
+    def test_cross_group_duplicates_not_masked(self, spark, tmp_path):
+        """Duplicates of column B spanning two hash-groups of column A are
+        invisible per-group; the rollup must NOT recompute a 'pass' from
+        summed counts (mostly stays NULL -> AND-of-groups path)."""
+        df = spark.createDataFrame(
+            [(i, i % 50) for i in range(100)], "a bigint, b bigint")
+        suite = ExpectationSuite("u").add(
+            "expect_column_values_to_be_unique", column="b")
+        store = str(tmp_path / "xgdup")
+        cp = Checkpoint(store, suite, group_key="a", n_groups=4)
+        cp.run(df)
+        v = cp.verdicts(spark).collect()
+        assert all(r["mostly"] is None for r in v)  # not count-decomposable
+        # whole-table validation sees all 100 duplicate-marked rows
+        assert not validate(df, suite).results[0].success
+
+    def test_unique_on_group_key_is_count_based(self, spark, clips, tmp_path):
+        suite = ExpectationSuite("u").add(
+            "expect_column_values_to_be_unique", column="clip_id")
+        store = str(tmp_path / "ukey")
+        cp = Checkpoint(store, suite, group_key="clip_id", n_groups=4)
+        cp.run(clips)
+        v = cp.verdicts(spark).collect()
+        assert all(r["mostly"] is not None for r in v)
+        roll = cp.rollup(spark).collect()[0]
+        direct = validate(clips, suite).results[0]
+        assert roll["unexpected_count"] == direct.result["unexpected_count"]
+        assert roll["success"] == direct.success
+
+    def test_store_schema_explicit_and_versioned(self, spark, tmp_path):
+        """A suite with no count-based expectations still writes float64
+        `mostly` (no null-typed parquet column), and the manifest carries the
+        store format version; a legacy store is rejected."""
+        import json as _json
+        import pyarrow.parquet as pq
+
+        from sparkcheck.checkpoint import STORE_FORMAT_VERSION
+        df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                                   "a bigint, v double")
+        suite = ExpectationSuite("agg").add(
+            "expect_column_mean_to_be_between", column="v",
+            min_value=0, max_value=100)
+        store = str(tmp_path / "ver")
+        cp = Checkpoint(store, suite, group_key="a", n_groups=2)
+        cp.run(df)
+        m = cp._load_manifest()
+        assert m["format_version"] == STORE_FORMAT_VERSION
+        f = pq.read_table(store + "/verdicts/group-0.parquet")
+        assert f.schema.field("mostly").type == "double"
+        assert f.schema.field("group_id").type == "string"
+        # legacy (unversioned) manifest is refused
+        mpath = store + "/checkpoint_manifest.json"
+        legacy = dict(m)
+        legacy.pop("format_version")
+        with open(mpath, "w") as fh:
+            _json.dump(legacy, fh)
+        with pytest.raises(ValueError, match="format_version"):
+            Checkpoint(store, suite, group_key="a", n_groups=2)._load_manifest()
+
+    def test_column_mode_cardinality_guard(self, spark, tmp_path):
+        df = spark.createDataFrame([(i,) for i in range(500)], "a bigint")
+        suite = ExpectationSuite("g").add(
+            "expect_column_values_to_not_be_null", column="a")
+        cp = Checkpoint(str(tmp_path / "card"), suite, group_key="a",
+                        group_mode="column", max_groups=100)
+        with pytest.raises(ValueError, match="max_groups"):
+            cp.run(df)
+
+
 class TestAudioFeatures:
     def test_extract_features_sine_rms(self, spark):
         from sparkcheck.pipeline.audio_features import extract_audio_features
