@@ -61,6 +61,11 @@ def _riff_pcm16_fast(payload: bytes) -> np.ndarray | None:
             bits = int.from_bytes(payload[pos + 22:pos + 24], "little")
             fmt_ok = audio_fmt == 1 and bits == 16
         elif cid == b"data":
+            if pos + 8 + size > n:
+                # truncated data chunk: reject rather than decoding partial
+                # audio (wave.open raises wave.Error here; a corrupt payload
+                # must score as undecodable, not as a finite SNR)
+                return None
             data = payload[pos + 8:pos + 8 + size]
             break
         pos += 8 + size + (size & 1)
@@ -83,7 +88,11 @@ def decode_pcm(payload: bytes | None, codec: str | None, strict_codecs: bool = F
             return fast
         try:
             with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                frames = w.readframes(w.getnframes())
+                nframes = w.getnframes()
+                width = w.getsampwidth() * w.getnchannels()
+                frames = w.readframes(nframes)
+            if len(frames) < nframes * width:
+                return None  # truncated data chunk: undecodable, not partial
             return np.frombuffer(frames, dtype="<i2").astype(np.float32) / np.float32(32768.0)
         except (wave.Error, EOFError):
             return None

@@ -888,6 +888,20 @@ class ValidationRun:
         evrs: dict[str, ExpectationValidationResult] = {}
         plannable = []
         for config in suite.expectations:
+            unresolved = _unresolved_parameters(config.kwargs)
+            if unresolved:
+                exc = KeyError(
+                    f"evaluation parameter(s) not supplied: {unresolved}")
+                if not self.catch_exceptions:
+                    raise exc
+                evrs[id(config)] = ExpectationValidationResult(
+                    success=False, expectation_config=config, result={},
+                    exception_info={
+                        "raised_exception": True,
+                        "exception_message": f"KeyError: {exc}",
+                        "exception_traceback": None,
+                    })
+                continue
             missing = self._missing_columns(config)
             if missing:
                 exc = KeyError(f"column(s) not found in table: {missing}")
@@ -1055,7 +1069,10 @@ def resolve_evaluation_parameters(
         if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
             name = v["$PARAMETER"]
             if params is None or name not in params:
-                raise KeyError(f"evaluation parameter not supplied: {name}")
+                # leave unresolved: ValidationRun converts it into a
+                # per-expectation exception EVR (catch_exceptions semantics),
+                # instead of aborting the whole validate() call here
+                return v
             return params[name]
         if isinstance(v, dict):
             return {k: subst(x) for k, x in v.items()}
@@ -1072,6 +1089,18 @@ def resolve_evaluation_parameters(
         out.expectations.append(ExpectationConfiguration(
             c.expectation_type, subst(dict(c.kwargs)), dict(c.meta)))
     return out
+
+
+def _unresolved_parameters(v) -> list[str]:
+    """Names of ``{"$PARAMETER": ...}`` markers still present after
+    resolve_evaluation_parameters (i.e. not supplied by the caller)."""
+    if isinstance(v, dict):
+        if set(v) == {"$PARAMETER"}:
+            return [v["$PARAMETER"]]
+        return [n for x in v.values() for n in _unresolved_parameters(x)]
+    if isinstance(v, list):
+        return [n for x in v for n in _unresolved_parameters(x)]
+    return []
 
 
 def validate(

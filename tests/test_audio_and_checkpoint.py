@@ -36,6 +36,15 @@ class TestCodec:
         close = ref + 1e-4 * np.sin(2 * np.pi * 50 * t)
         assert snr_db(ref, close) > 30
 
+    def test_truncated_data_chunk_is_undecodable(self):
+        """A WAV whose data chunk is shorter than its declared size must be
+        treated as corrupt (None), not decoded partially into a finite SNR."""
+        samples = (np.sin(np.arange(1600) / 10.0) * 20000).astype(np.int16)
+        full = encode_wav_pcm16(samples, 16000)
+        truncated = full[: len(full) // 2]
+        assert decode_pcm(truncated, "wav") is None
+        assert snr_db(decode_pcm(full, "wav"), decode_pcm(truncated, "wav")) == float("-inf")
+
     def test_unsupported_codec_strict_raises(self):
         with pytest.raises(NotImplementedError):
             decode_pcm(b"\x00" * 64, "flac", strict_codecs=True)

@@ -200,3 +200,10 @@ def test_evaluation_parameters(spark):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         validate(df, suite, catch_exceptions=False)
+    # missing parameter + catch_exceptions=True (default): the unresolved
+    # expectation becomes an exception EVR, the rest of the suite still runs
+    res3 = validate(df, suite, evaluation_parameters={"max_v": 9})
+    assert not res3.results[0].success
+    assert res3.results[0].exception_info["raised_exception"]
+    assert "expected_rows" in res3.results[0].exception_info["exception_message"]
+    assert res3.results[1].success  # resolved expectation ran normally
