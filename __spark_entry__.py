@@ -611,13 +611,16 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 _SQL_DEDUP_EMBEDDING = """
-WITH p AS (
+WITH ok AS (SELECT label FROM embeddings GROUP BY label
+            HAVING count(*) <= 10000),  -- mirror max_cell_size cap
+p AS (
   SELECT a.vec_id ia, b.vec_id ib,
          round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
   FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id)
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.label IN (SELECT label FROM ok))
 SELECT CAST(least(CAST(cos*20 AS INT), 19) AS INT) AS bucket, count(*) AS cnt
 FROM p WHERE cos >= 0.8 GROUP BY 1
 """
@@ -736,9 +739,14 @@ def q_dedup_jaccard(spark, sf_dir):
 
 _SQL_DEDUP_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
-s AS (SELECT DISTINCT doc_id,
+s0 AS (SELECT DISTINCT doc_id,
       unnest(list_transform(generate_series(1, greatest(len(ws)-2,0)),
                             i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+-- mirror jaccard_pairs' hot-shingle guard: drop shingles whose pair
+-- contribution df*(df-1)/2 would exceed 1e6, i.e. document frequency > 1414
+s AS (SELECT s0.* FROM s0
+      JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 1414) k
+      USING (sh)),
 sz AS (SELECT doc_id, count(*) sz FROM s GROUP BY 1),
 p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),

@@ -92,11 +92,27 @@ def lsh_candidate_stats(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                  shingle_n: int = 1, threshold: float = 0.8) -> DataFrame:
+                  shingle_n: int = 1, threshold: float = 0.8,
+                  max_pairs_per_shingle: int | None = 1_000_000) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     Returns (id_a, id_b, jaccard). At scale, feed LSH candidates instead of
-    the raw self-join."""
+    the raw self-join.
+
+    ``max_pairs_per_shingle`` guards the self-join against hot shingles
+    (stop-shingle skew): a shingle occurring in df documents contributes
+    df*(df-1)/2 pairs, so one stopword shared by every doc makes the join
+    quadratic in corpus size. Shingles whose pair contribution exceeds the
+    cap are dropped from the shingle space entirely — from the join AND the
+    size counts, keeping the jaccard consistent on the filtered space (such
+    shingles carry ~zero similarity signal anyway; they appear everywhere).
+    Pass None to disable (exact semantics, unbounded skew)."""
     sh = shingles(df, id_col, text_col, shingle_n)
+    if max_pairs_per_shingle is not None:
+        # df*(df-1)/2 <= cap  <=>  df <= (1 + sqrt(1+8*cap)) / 2
+        max_df = int((1 + (1 + 8 * max_pairs_per_shingle) ** 0.5) // 2)
+        keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df).select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -114,20 +130,29 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              bucket_col: str, threshold: float = 0.8,
-                             round_digits: int = 6) -> DataFrame:
+                             round_digits: int = 6,
+                             max_cell_size: int | None = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by ``bucket_col``
     (IVF-style: only same-bucket pairs are scored — at 100 TB the bucket is a
     coarse-quantizer cell, here any precomputed cluster/label column).
     Cosine via native zip_with/aggregate — no Python UDF. Returns
-    (id_a, id_b, cos) with cos rounded for engine-portable comparisons."""
-    def unit(c):
-        norm = F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
-        return (c, norm)
+    (id_a, id_b, cos) with cos rounded for engine-portable comparisons.
 
+    ``max_cell_size`` caps the within-cell all-pairs blowup: a cell of c
+    vectors costs O(c^2) comparisons, so one degenerate coarse cell (all-zero
+    embeddings, a catch-all label) can dominate the whole job. Cells larger
+    than the cap are dropped — at scale, re-cluster such cells with a finer
+    quantizer rather than brute-forcing them. Pass None to disable."""
     a = df.select(F.col(bucket_col).alias("__b"), F.col(id_col).alias("id_a"),
                   F.col(vec_col).alias("__va"))
     b = df.select(F.col(bucket_col).alias("__b"), F.col(id_col).alias("id_b"),
                   F.col(vec_col).alias("__vb"))
+    if max_cell_size is not None:
+        keep = (df.groupBy(F.col(bucket_col).alias("__b"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") <= max_cell_size).select("__b"))
+        a = a.join(keep, "__b", "left_semi")
+        b = b.join(keep, "__b", "left_semi")
     pairs = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y),

@@ -1,0 +1,97 @@
+"""Unit tests for the training-data pipeline operators (dedup/similarity),
+including the hot-shingle skew guard (VERDICT r1 'what's wrong' #2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck.pipeline.dedup import (exact_duplicates, jaccard_pairs,
+                                       lsh_candidate_stats,
+                                       minhash_signatures, simhash16)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 60 docs; every doc contains the stopword "the"; docs pair up into
+    # near-duplicate pairs (i, i+1) sharing their distinctive tail words
+    rows = []
+    for i in range(60):
+        base = i // 2
+        rows.append((f"d{i:03d}",
+                     f"the quick item{base} alpha{base} beta{base} gamma{base}"))
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+class TestJaccardHotShingleGuard:
+    def test_guard_bounds_hot_shingle_pairs(self, spark, corpus):
+        """With every doc sharing the 'the'/'quick' shingles, the unguarded
+        1-gram self-join scores all C(60,2)=1770 pairs; a tight cap drops the
+        hot shingles so only the distinctive-word pairs remain."""
+        unguarded = jaccard_pairs(corpus, "doc_id", "text", shingle_n=1,
+                                  threshold=0.0, max_pairs_per_shingle=None)
+        assert unguarded.count() == 60 * 59 // 2
+        # cap at 1 pair/shingle => shingles in >2 docs are dropped: 'the',
+        # 'quick' vanish, each (2i, 2i+1) pair still shares its 4 tail words
+        guarded = jaccard_pairs(corpus, "doc_id", "text", shingle_n=1,
+                                threshold=0.0, max_pairs_per_shingle=1)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in guarded.collect()}
+        assert len(got) == 30
+        for (a, b), j in got.items():
+            assert int(a[1:]) // 2 == int(b[1:]) // 2
+            assert j == 1.0  # identical on the filtered shingle space
+
+    def test_guard_noop_below_cap(self, spark, corpus):
+        """The default cap (1e6 pairs) leaves a small corpus untouched."""
+        default = jaccard_pairs(corpus, "doc_id", "text", shingle_n=1,
+                                threshold=0.0)
+        exact = jaccard_pairs(corpus, "doc_id", "text", shingle_n=1,
+                              threshold=0.0, max_pairs_per_shingle=None)
+        assert sorted(map(tuple, default.collect())) == \
+            sorted(map(tuple, exact.collect()))
+
+
+class TestEmbeddingCellCap:
+    def test_oversized_cell_dropped(self, spark):
+        from sparkcheck.pipeline.dedup import embedding_near_dup_pairs
+        rows = ([(f"v{i}", [1.0, 0.0], "big") for i in range(10)]
+                + [("a", [0.0, 1.0], "small"), ("b", [0.0, 1.0], "small")])
+        df = spark.createDataFrame(
+            rows, "vec_id string, embedding array<double>, label string")
+        capped = embedding_near_dup_pairs(df, "vec_id", "embedding", "label",
+                                          threshold=0.5, max_cell_size=5)
+        assert [(r["id_a"], r["id_b"]) for r in capped.collect()] == [("a", "b")]
+        full = embedding_near_dup_pairs(df, "vec_id", "embedding", "label",
+                                        threshold=0.5, max_cell_size=None)
+        assert full.count() == 45 + 1
+
+
+class TestDedupOps:
+    def test_exact_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x y z"), ("b", "x y z"), ("c", "unique doc"),
+             ("d", "X  y z")],
+            "doc_id string, text string")
+        assert exact_duplicates(df, "doc_id", "text").count() == 1
+        norm = exact_duplicates(df, "doc_id", "text", normalize=True)
+        assert norm.collect()[0]["cnt"] == 3  # 'X  y z' normalizes in
+
+    def test_minhash_identical_docs_same_signature(self, spark):
+        df = spark.createDataFrame(
+            [("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w4"), ("c", "q r s t")],
+            "doc_id string, text string")
+        sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+                for r in minhash_signatures(df, "doc_id", "text").collect()}
+        assert sigs["a"] == sigs["b"] != sigs["c"]
+        stats = lsh_candidate_stats(df, "doc_id", "text").collect()[0]
+        assert stats["candidate_pairs"] >= 4  # a,b collide in every band
+
+    def test_simhash_similar_docs_close(self, spark):
+        df = spark.createDataFrame(
+            [("a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+             ("b", "w1 w2 w3 w4 w5 w6 w7 changed"),
+             ("c", "completely different words here now ok fine yes")],
+            "doc_id string, text string")
+        h = {r["doc_id"]: r["simhash"] for r in
+             simhash16(df, "doc_id", "text").collect()}
+        dist_ab = bin(h["a"] ^ h["b"]).count("1")
+        dist_ac = bin(h["a"] ^ h["c"]).count("1")
+        assert dist_ab < dist_ac
