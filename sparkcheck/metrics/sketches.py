@@ -163,6 +163,57 @@ def kl_divergence_categorical(
     return kl, details
 
 
+def kl_divergence_categorical_scalars(
+    observed_expected_counts: dict,
+    nonnull_count: float,
+    values: list,
+    weights: list[float],
+    tail_weight_holdout: float,
+    n_unexpected: int,
+    unexpected_total: float,
+    unexpected_clogc: float,
+) -> float:
+    """Exact categorical KL when the out-of-set values are summarized by
+    three scalars instead of materialized per-value: their distinct count
+    n_unexpected, total count, and sum of c*ln(c). Works because every
+    out-of-set value gets the SAME expected mass (tail_weight_holdout /
+    n_unexpected), so their KL contribution
+        sum_i p_i ln(p_i / q)  =  (L - T ln(nn*sp)) / (nn*sp) - (T/(nn*sp)) ln q
+    depends only on (T = sum c_i, L = sum c_i ln c_i) — both computable
+    JVM-side with one aggregate, keeping driver memory flat at any
+    cardinality. Matches kl_divergence_categorical bit-for-bit (same
+    scipy-entropy normalization)."""
+    import math
+    expected = {v: float(w) for v, w in zip(values, weights)}
+    th = float(tail_weight_holdout)
+    seen_mass = sum(observed_expected_counts.get(v, 0.0) for v in expected)
+    if nonnull_count <= 0:
+        return float("nan")
+    sp = (seen_mass + unexpected_total) / nonnull_count
+    w_sum = sum(expected.values())
+    sq = w_sum * (1.0 - th) + th if n_unexpected else w_sum
+    if sp <= 0 or sq <= 0:
+        return float("nan")
+    total = 0.0
+    for v in expected:
+        c = observed_expected_counts.get(v, 0.0)
+        if c == 0:
+            continue
+        p = c / nonnull_count / sp
+        q = expected[v] * ((1.0 - th) if n_unexpected else 1.0) / sq
+        if q == 0:
+            return float("inf")
+        total += p * math.log(p / q)
+    if n_unexpected and unexpected_total > 0:
+        if th == 0:
+            return float("inf")  # observed mass where expected is zero
+        nnsp = nonnull_count * sp
+        q = (th / n_unexpected) / sq
+        total += (unexpected_clogc - unexpected_total * math.log(nnsp)) / nnsp
+        total -= (unexpected_total / nnsp) * math.log(q)
+    return float(total)
+
+
 def ks_statistic(observed_counts: list[float], expected_weights: list[float]) -> float:
     """Max |CDF_obs - CDF_exp| over the shared binning (two-sample KS on the
     binned sketch; the reference's scipy KS is pandas-only and suppressed for

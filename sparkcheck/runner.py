@@ -317,17 +317,56 @@ class ValidationRun:
             values = item.info["values"]
             observed = {v: float(c) for v, c in zip(values, counts)}
             seen_mass = sum(observed.values())
+            value, details = None, None
             if nonnull - seen_mass > 0.5:
                 # values outside the expected set exist: one groupBy job
-                # resolves their individual counts (rare path; the fused pass
-                # already covered the expected values)
+                # resolves their counts (rare path; the fused pass already
+                # covered the expected values). The driver only ever sees the
+                # top `max_unexpected_values` rows — above that, the KL is
+                # computed from three JVM-side scalars (distinct count, total,
+                # sum c*ln c), exactly, with driver memory flat at any
+                # out-of-set cardinality.
+                cap = int(kw.get("max_unexpected_values", 1000))
                 col = F.col(kw["column"])
-                rows = (item.info["dfd"].filter(col.isNotNull() & ~col.isin(values))
-                        .groupBy(col).agg(F.count(F.lit(1)).alias("__n")).collect())
-                for r in rows:
-                    observed[r[kw["column"]]] = float(r["__n"])
-            value, details = sketches.kl_divergence_categorical(
-                observed, float(nonnull), values, item.info["expected_weights"], th)
+                out = (item.info["dfd"].filter(col.isNotNull() & ~col.isin(values))
+                       .groupBy(col).agg(F.count(F.lit(1)).alias("__n")))
+                top = (out.orderBy(F.desc("__n"), col)
+                       .limit(cap + 1).collect())
+                if len(top) <= cap:
+                    for r in top:
+                        observed[r[kw["column"]]] = float(r["__n"])
+                else:
+                    cnt = F.col("__n").cast("double")
+                    srow = out.agg(
+                        F.count(F.lit(1)).alias("n_distinct"),
+                        F.sum(cnt).alias("total"),
+                        F.sum(cnt * F.log(cnt)).alias("clogc")).first()
+                    value = sketches.kl_divergence_categorical_scalars(
+                        observed, float(nonnull), values,
+                        item.info["expected_weights"], th,
+                        int(srow["n_distinct"]), float(srow["total"]),
+                        float(srow["clogc"]))
+                    shown = {r[kw["column"]]: float(r["__n"]) for r in top[:cap]}
+                    details = {
+                        "observed_partition": {
+                            "values": values, "weights": [
+                                observed.get(v, 0.0) / nonnull if nonnull else 0.0
+                                for v in values]},
+                        "expected_partition": {
+                            "values": values,
+                            "weights": item.info["expected_weights"]},
+                        "unexpected_values_truncated": {
+                            "distinct": int(srow["n_distinct"]),
+                            "total_count": int(srow["total"]),
+                            "top": {str(k): v for k, v in shown.items()},
+                            "note": f"out-of-set values exceed "
+                                    f"max_unexpected_values={cap}; KL computed "
+                                    "exactly from distributed scalars"},
+                    }
+            if value is None:
+                value, details = sketches.kl_divergence_categorical(
+                    observed, float(nonnull), values,
+                    item.info["expected_weights"], th)
         else:
             value, details = sketches.kl_divergence(
                 counts, item.info["expected_weights"], below, above, nonnull,

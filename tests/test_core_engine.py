@@ -313,6 +313,40 @@ class TestDrift:
         assert not r.success
         assert r.result["observed_value"] > 0.1
 
+    def test_kl_categorical_high_cardinality_rare_path_bounded(self, spark):
+        """10^4 distinct out-of-set values with a small max_unexpected_values
+        cap: the KL must equal the uncapped computation exactly (scalar
+        aggregation path) while the driver only ever sees cap+1 rows."""
+        rows = [("a",)] * 5000 + [("b",)] * 5000 + \
+               [(f"junk{i}",) for i in range(10_000)]
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        po = {"values": ["a", "b"], "weights": [0.5, 0.5]}
+        capped = one(df, "expect_column_kl_divergence_to_be_less_than",
+                     column="v", partition_object=po, threshold=5.0,
+                     tail_weight_holdout=0.1, max_unexpected_values=50)
+        uncapped = one(df, "expect_column_kl_divergence_to_be_less_than",
+                       column="v", partition_object=po, threshold=5.0,
+                       tail_weight_holdout=0.1)
+        assert capped.result["observed_value"] == pytest.approx(
+            uncapped.result["observed_value"], abs=1e-12)
+        assert capped.success == uncapped.success
+        trunc = capped.result["details"]["unexpected_values_truncated"]
+        assert trunc["distinct"] == 10_000
+        assert trunc["total_count"] == 10_000
+        assert len(trunc["top"]) == 50
+
+    def test_kl_categorical_rare_path_zero_holdout_inf(self, spark):
+        """Out-of-set mass with no tail holdout is inf on the scalar path
+        too (observed mass where expected is zero)."""
+        rows = [("a",)] * 100 + [(f"junk{i}",) for i in range(200)]
+        df = spark.createDataFrame(rows, "v string")
+        po = {"values": ["a"], "weights": [1.0]}
+        r = one(df, "expect_column_kl_divergence_to_be_less_than",
+                column="v", partition_object=po, threshold=10,
+                max_unexpected_values=20)
+        assert not r.success
+        assert r.result["observed_value"] is None  # inf -> None
+
     def test_kl_out_of_bins_inf_without_holdout(self, spark):
         df = spark.createDataFrame([(15.0,), (1.0,)], "v double")
         po = {"bins": [0.0, 5.0, 10.0], "weights": [0.5, 0.5]}
