@@ -102,3 +102,31 @@ def test_salted_repartition_breaks_hot_key(spark):
     assert max(sizes_plain) > 0.75 * 20_000
     assert max(sizes_salted) < 0.35 * 20_000
     assert sum(sizes_salted) == 20_000
+
+
+def test_default_quantiles_use_bounded_sketch(spark, clips_path):
+    """Scale guard: the DEFAULT quantile path must compile to the fused
+    percentile_approx sketch (bounded memory, mergeable), never the exact
+    percentile aggregation or a separate approxQuantile(0.0) job; the exact
+    paths stay available behind explicit opt-ins."""
+    qr = {"quantiles": [0.5], "value_ranges": [[None, None]]}
+    default_cfg = EC("expect_column_quantile_values_to_be_between",
+                     {"column": "dur_ms", "quantile_ranges": qr})
+    plan = compile_suite([default_cfg])
+    item = next(iter(plan.domains.values())).fused_items[0]
+    assert not item.info.get("use_approx_quantile")
+    assert "value" in item.slots  # fused slot, single pass
+    agg = _fused_agg(spark, clips_path, [default_cfg])
+    txt = _executed_plan(agg)
+    assert "percentile_approx" in txt
+    assert not re.search(r"(?<!_approx)\bpercentile\(", txt), txt[:800]
+    # explicit opt-ins keep the exact semantics
+    exact_cfg = EC("expect_column_quantile_values_to_be_between",
+                   {"column": "dur_ms", "quantile_ranges": qr, "exact": True})
+    item_e = next(iter(compile_suite([exact_cfg]).domains.values())).fused_items[0]
+    assert item_e.info.get("use_approx_quantile")
+    linear_cfg = EC("expect_column_quantile_values_to_be_between",
+                    {"column": "dur_ms", "quantile_ranges": qr,
+                     "interpolation": "linear"})
+    item_l = next(iter(compile_suite([linear_cfg]).domains.values())).fused_items[0]
+    assert "value" in item_l.slots and not item_l.info.get("use_approx_quantile")
