@@ -14,6 +14,7 @@ reference uses row UDFs for strftime/json — we use `try_to_timestamp` /
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from typing import Any
 
@@ -358,13 +359,57 @@ def compound_columns_unique(kwargs: dict) -> Column:
     return F.count(F.lit(1)).over(Window.partitionBy(*cols)) <= 1
 
 
+_GE_DSL_RE = re.compile(
+    r'^\s*col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)\s*'
+    r'(?:(?P<notnull>\.notnull\(\))|'
+    r'(?P<op>>=|<=|==|>|<)\s*'
+    r'(?:(?P<fnumber>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)|'
+    r'"(?P<dq>[A-Za-z0-9.]+)"|'
+    r"'(?P<sq>[A-Za-z0-9.]+)'))\s*$",
+    re.IGNORECASE)
+
+
+def parse_ge_dsl_condition(row_condition: str) -> Column:
+    """The GE mini-DSL condition parser (reference
+    expectations/row_conditions.py:31-96): ``col("x") > 5``,
+    ``col("x") == "v"``, ``col("x").notnull()``. Same grammar (one
+    comparison, numeric or quoted alnum literal, ops > < >= <= ==; string
+    literals only with ==) and same error contract (ValueError on anything
+    else — the reference raises ConditionParserError)."""
+    m = _GE_DSL_RE.match(row_condition)
+    if not m:
+        raise ValueError(f"unable to parse condition: {row_condition}")
+    col = F.col(m.group("column"))
+    if m.group("notnull"):
+        return col.isNotNull()
+    op = m.group("op")
+    sval = m.group("dq") or m.group("sq")
+    if sval is not None:
+        if op != "==":
+            raise ValueError(
+                f"Invalid operator: {op} for string literal spark condition.")
+        return col == sval
+    raw = m.group("fnumber")
+    try:
+        num: float | int = int(raw)
+    except ValueError:
+        num = float(raw)
+    return {">": col > num, "<": col < num, ">=": col >= num,
+            "<=": col <= num, "==": col == num}[op]
+
+
 def row_condition_filter(kwargs: dict) -> Column | None:
-    """Domain row_condition: Spark-SQL predicate string, Catalyst-parsed
-    (reference sparkdf_execution_engine.py:405-409)."""
+    """Domain row_condition. condition_parser='spark' (default): Spark-SQL
+    predicate string, Catalyst-parsed (reference
+    sparkdf_execution_engine.py:405-409).
+    condition_parser='great_expectations__experimental__': the GE mini-DSL
+    (parse_ge_dsl_condition above)."""
     rc = kwargs.get("row_condition")
     if not rc:
         return None
     parser = kwargs.get("condition_parser", "spark")
-    if parser in ("spark", "great_expectations__experimental__", None):
+    if parser == "great_expectations__experimental__":
+        return parse_ge_dsl_condition(rc)
+    if parser in ("spark", None):
         return F.expr(rc)
     raise ValueError(f"unsupported condition_parser: {parser}")

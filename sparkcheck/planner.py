@@ -62,6 +62,7 @@ class CompiledItem:
 @dataclass
 class DomainPlan:
     row_condition: str | None
+    condition_parser: str | None = None
     slot_table: SlotTable = field(default_factory=SlotTable)
     fused_items: list[CompiledItem] = field(default_factory=list)     # map / agg / agg_custom / drift
     dependent_items: list[CompiledItem] = field(default_factory=list)  # z-score (needs pass-1 values)
@@ -112,8 +113,10 @@ def compile_suite(suite_expectations: list[ExpectationConfiguration]) -> Compile
             continue
 
         rc = kw.get("row_condition")
-        did = kwargs_id({"rc": rc})
-        dp = plan.domains.setdefault(did, DomainPlan(row_condition=rc))
+        cp = kw.get("condition_parser")
+        did = kwargs_id({"rc": rc, "cp": cp})
+        dp = plan.domains.setdefault(
+            did, DomainPlan(row_condition=rc, condition_parser=cp))
 
         if spec.kind == "map":
             nn = _nonnull_pred(spec, kw)

@@ -989,9 +989,22 @@ class ValidationRun:
 
         for dp in plan.domains.values():
             dfd = self.df
-            rc = C.row_condition_filter({"row_condition": dp.row_condition}) \
-                if dp.row_condition else None
-            if rc is not None:
+            if dp.row_condition:
+                try:
+                    rc = C.row_condition_filter(
+                        {"row_condition": dp.row_condition,
+                         "condition_parser": dp.condition_parser})
+                except Exception as exc:  # noqa: BLE001 — bad condition: EVRs, not abort
+                    if not self.catch_exceptions:
+                        raise
+                    # an unparseable row_condition fails every expectation in
+                    # this domain as an exception EVR (same contract as any
+                    # other config error) and the rest of the suite still runs
+                    def _reraise(e=exc):
+                        raise ValueError(f"invalid row_condition: {e}") from e
+                    for it in dp.fused_items + dp.dependent_items + dp.job_items:
+                        record(it.config, _reraise)
+                    continue
                 dfd = dfd.filter(rc)
             for it in dp.fused_items + dp.dependent_items + dp.job_items:
                 it.info["dfd"] = dfd

@@ -207,3 +207,65 @@ def test_evaluation_parameters(spark):
     assert res3.results[0].exception_info["raised_exception"]
     assert "expected_rows" in res3.results[0].exception_info["exception_message"]
     assert res3.results[1].success  # resolved expectation ran normally
+
+
+class TestGeDslRowCondition:
+    """GE mini-DSL condition_parser='great_expectations__experimental__'
+    (reference expectations/row_conditions.py:31-96)."""
+
+    def _count(self, spark, df, rc):
+        from sparkcheck import ExpectationSuite, validate
+        suite = ExpectationSuite("dsl").add(
+            "expect_table_row_count_to_be_between", min_value=0,
+            row_condition=rc,
+            condition_parser="great_expectations__experimental__")
+        return validate(df, suite).results[0].result["observed_value"]
+
+    def test_numeric_comparisons(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "x bigint, s string")
+        assert self._count(spark, df, 'col("x") > 5') == 4
+        assert self._count(spark, df, 'col("x") >= 5') == 5
+        assert self._count(spark, df, 'col("x") < 5') == 5
+        assert self._count(spark, df, 'col("x") <= 5') == 6
+        assert self._count(spark, df, 'col("x") == 5') == 1
+        assert self._count(spark, df, 'col("x") > 2.5') == 7
+
+    def test_string_equality_and_notnull(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("b",), (None,)], "s string")
+        assert self._count(spark, df, 'col("s") == "a"') == 1
+        assert self._count(spark, df, "col(\"s\") == 'b'") == 1
+        assert self._count(spark, df, 'col("s").notnull()') == 2
+
+    def test_parse_errors(self, spark):
+        from sparkcheck.metrics.conditions import parse_ge_dsl_condition
+        import pytest as _pytest
+        for bad in ('col("x") > 5 AND col("y") > 1',   # no conjunctions
+                    'x > 5',                            # must use col("...")
+                    'col("s") > "a"'):                  # string only with ==
+            with _pytest.raises(ValueError):
+                parse_ge_dsl_condition(bad)
+        # engine path: the parse error becomes an exception EVR
+        from sparkcheck import ExpectationSuite, validate
+        df = spark.createDataFrame([(1,)], "x bigint")
+        suite = ExpectationSuite("bad").add(
+            "expect_table_row_count_to_be_between", min_value=0,
+            row_condition="garbage ===",
+            condition_parser="great_expectations__experimental__")
+        r = validate(df, suite).results[0]
+        assert not r.success and r.exception_info["raised_exception"]
+
+    def test_domains_keyed_by_parser(self, spark):
+        """The same row_condition string under different parsers must not
+        share a fused domain."""
+        from sparkcheck.planner import compile_suite
+        from sparkcheck.types import ExpectationConfiguration as EC
+        plan = compile_suite([
+            EC("expect_table_row_count_to_be_between",
+               {"min_value": 0, "row_condition": 'col("x") > 5',
+                "condition_parser": "great_expectations__experimental__"}),
+            EC("expect_table_row_count_to_be_between",
+               {"min_value": 0, "row_condition": 'col("x") > 5'}),
+        ])
+        assert len(plan.domains) == 2
