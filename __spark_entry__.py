@@ -51,8 +51,8 @@ def _counts_df(spark: SparkSession, evr) -> DataFrame:
 def _one(spark, df, etype, tables=None, **kw):
     from sparkcheck import ExpectationSuite, validate
     suite = ExpectationSuite("q").add(etype, **kw)
-    return validate(df, suite, tables=tables or {}, result_format="BOOLEAN_ONLY"
-                    if kw.pop("_bool", False) else "BASIC").results[0]
+    return validate(df, suite, tables=tables or {},
+                    result_format="BASIC").results[0]
 
 
 # --------------------------------------------------------------- validation

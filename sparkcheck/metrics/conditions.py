@@ -246,6 +246,13 @@ def _ordered_window(kwargs: dict) -> Window:
         order_cols = [F.col(ob)]
     if kwargs.get("group_by"):
         return Window.partitionBy(kwargs["group_by"]).orderBy(*order_cols)
+    import warnings
+    warnings.warn(
+        f"increasing/decreasing on '{kwargs.get('column')}' without "
+        "`group_by`: a global ordered window collapses the whole table into "
+        "ONE partition (Spark 'No Partition Defined for Window operation') — "
+        "a straggler at scale. Pass group_by=<series key> to keep the window "
+        "partitioned.", stacklevel=3)
     return Window.orderBy(*order_cols)
 
 

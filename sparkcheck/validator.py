@@ -53,6 +53,16 @@ class Validator:
             return _call
         raise AttributeError(name)
 
+    def head(self, n_rows: int = 5, fetch_all: bool = False) -> list:
+        """table.head metric (reference
+        expectations/metrics/table_metrics/table_head.py:139-153): the first
+        n rows of the validated batch, as Rows. Profiler/debug aid —
+        `fetch_all` collects the whole batch (driver-memory hazard, same as
+        the reference)."""
+        if fetch_all:
+            return self.df.collect()
+        return self.df.head(n_rows)
+
     def validate(
         self,
         suite: ExpectationSuite | None = None,

@@ -417,3 +417,23 @@ class TestSuiteLevel:
             "expect_column_values_to_be_between", column="c", min_value=0, max_value=1)
         s2 = ExpectationSuite.from_json(suite.to_json())
         assert s2.expectations[0].kwargs["min_value"] == 0
+
+
+def test_ungrouped_window_warns(spark):
+    """Un-grouped increasing/decreasing collapses to one partition — the
+    engine must say so (scale guard); with group_by there is no warning."""
+    import warnings
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "v int, g string")
+    with pytest.warns(UserWarning, match="without `group_by`"):
+        one(df, "expect_column_values_to_be_increasing", column="v")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        one(df, "expect_column_values_to_be_increasing", column="v", group_by="g")
+
+
+def test_validator_head(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    v = Validator(df)
+    rows = v.head(3)
+    assert [r["v"] for r in rows] == [0, 1, 2]
+    assert len(v.head(fetch_all=True)) == 10
