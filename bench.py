@@ -119,6 +119,7 @@ def run_headline(spark, meta_path: str, snr_path: str, ref_path: str) -> dict:
     out["audio_suite_sec"] = round(dt, 3)
     out["audio_suite_clips_per_sec"] = round(N_META / dt, 1)
     out["audio_suite_success"] = bool(res.success)
+    out["_suite_results"] = res.results
 
     dirty = spark.read.parquet(snr_path)
     ref = spark.read.parquet(ref_path)
@@ -132,6 +133,53 @@ def run_headline(spark, meta_path: str, snr_path: str, ref_path: str) -> dict:
     out["audio_snr_clips_per_sec"] = round(N_SNR / dt, 1)
     out["audio_snr_unexpected"] = int(res.results[0].result["unexpected_count"])
     return out
+
+
+def run_reference_ge(spark, meta_path: str, ours_results) -> dict:
+    """Measured baseline row: the REFERENCE great_expectations
+    (SparkDFDataset, /root/reference) running the same 11-expectation
+    contract suite on the same parquet — so 'within 2x of baseline' is a
+    number in this file, not an inference. Uses the parity-test import shim;
+    returns {} if the reference can't load (bench still completes)."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from ge_reference_shim import install_reference_ge
+        if install_reference_ge() is None:
+            return {}
+        from great_expectations.dataset.sparkdf_dataset import SparkDFDataset
+        d = SparkDFDataset(spark.read.parquet(meta_path))
+        t0 = time.time()
+        refs = [
+            d.expect_column_values_to_not_be_null("clip_id", mostly=0.999),
+            d.expect_column_values_to_match_regex(
+                "clip_id", r"^clip-[0-9]{10}$", mostly=0.99),
+            d.expect_column_values_to_be_unique("clip_id", mostly=0.99),
+            d.expect_column_values_to_be_between(
+                "sr_hz", min_value=8000, max_value=48000, mostly=0.999),
+            d.expect_column_values_to_be_in_set(
+                "codec", ["wav", "flac", "mp3", "opus"], mostly=0.999),
+            d.expect_column_value_lengths_to_be_between(
+                "transcript", min_value=5, max_value=400, mostly=0.99),
+            d.expect_column_values_to_be_between(
+                "dur_ms", min_value=200, max_value=30000),
+            d.expect_column_mean_to_be_between(
+                "dur_ms", min_value=2000, max_value=5000),
+            d.expect_column_stdev_to_be_between(
+                "dur_ms", min_value=100, max_value=5000),
+            d.expect_column_kl_divergence_to_be_less_than(
+                "dur_ms", partition_object={
+                    "bins": [200, 1500, 2500, 3500, 5000, 8000, 30000],
+                    "weights": [0.18, 0.26, 0.20, 0.17, 0.12, 0.07]},
+                threshold=1.0, tail_weight_holdout=0.01),
+            d.expect_table_row_count_to_be_between(min_value=1),
+        ]
+        dt = time.time() - t0
+        agree = [r.success for r in refs] == [e.success for e in ours_results]
+        return {"reference_ge_suite_sec": round(dt, 3),
+                "reference_ge_clips_per_sec": round(N_META / dt, 1),
+                "reference_ge_verdicts_agree": bool(agree)}
+    except Exception as exc:  # noqa: BLE001 — baseline row is best-effort
+        return {"reference_ge_error": f"{type(exc).__name__}: {exc}"}
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -151,6 +199,10 @@ def main() -> None:
     try:
         meta_path, snr_path, ref_path = setup_bench_tables(spark)
         headline = run_headline(spark, meta_path, snr_path, ref_path)
+        ref_row = ({} if os.environ.get("SPARKCHECK_BENCH_REFERENCE", "1") == "0"
+                   else run_reference_ge(spark, meta_path,
+                                         headline.pop("_suite_results")))
+        headline.pop("_suite_results", None)
         qtimes = run_queries(spark)
         queries = dict(qtimes)
         queries["audio_contract_suite_1500k"] = headline["audio_suite_sec"]
@@ -171,6 +223,7 @@ def main() -> None:
             "bench_clips": N_META,
             "clips_per_sec_metadata_suite": headline["audio_suite_clips_per_sec"],
             "clips_per_sec_snr_invariant": headline["audio_snr_clips_per_sec"],
+            **ref_row,
         }))
     finally:
         spark.stop()

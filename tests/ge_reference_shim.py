@@ -67,6 +67,25 @@ def install_reference_ge():
         if name not in sys.modules:
             _mod(name)
     sys.modules["tqdm.auto"].tqdm = lambda x, **k: x
+    # the one scipy function the reference's Spark KL path actually calls
+    # (dataset.py:4338 stats.entropy) — scipy-semantics KL, provided by our
+    # sketches module so the reference suite is runnable in the bench
+    if not hasattr(sys.modules["scipy.stats"], "entropy"):
+        from sparkcheck.metrics.sketches import entropy_kl
+
+        def _entropy(pk, qk=None, base=None):
+            import numpy as _np
+            if qk is None:
+                p = _np.asarray(pk, dtype=float)
+                p = p / p.sum()
+                v = float(-(p[p > 0] * _np.log(p[p > 0])).sum())
+            else:
+                v = entropy_kl(pk, qk)
+            if base is not None:
+                v /= float(_np.log(base))
+            return v
+
+        sys.modules["scipy.stats"].entropy = _entropy
 
     try:
         import great_expectations as ge
