@@ -55,8 +55,26 @@ def _bound_chain(col: Column, kwargs: dict) -> Column:
     return reduce(lambda a, b: a & b, conds)
 
 
+def _parse_dt_bounds(kwargs: dict) -> dict:
+    """parse_strings_as_datetimes=True (deprecated in the reference but
+    corpus-exercised, column_values_between.py:46-63): string min/max parsed
+    with dateutil before comparison; non-strings pass through."""
+    from dateutil.parser import parse
+    out = dict(kwargs)
+    for k in ("min_value", "max_value"):
+        v = out.get(k)
+        if v is not None:
+            try:
+                out[k] = parse(v)
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
 def between(kwargs: dict) -> Column:
     # column_values_between.py:222 — chained comparisons per strict flags
+    if kwargs.get("parse_strings_as_datetimes"):
+        kwargs = _parse_dt_bounds(kwargs)
     return _bound_chain(_c(kwargs), kwargs)
 
 
@@ -69,7 +87,22 @@ def in_set(kwargs: dict) -> Column:
         return F.lit(True)
     if not value_set:
         return F.lit(False)
-    return _c(kwargs).isin(list(value_set))
+    return _c(kwargs).isin(_maybe_parse_set(kwargs, value_set))
+
+
+def _maybe_parse_set(kwargs: dict, value_set) -> list:
+    """parse_strings_as_datetimes on in_set/not_in_set: parse string members
+    with dateutil (column_values_in_set.py:86-99)."""
+    if not kwargs.get("parse_strings_as_datetimes"):
+        return list(value_set)
+    from dateutil.parser import parse
+    out = []
+    for v in value_set:
+        try:
+            out.append(parse(v) if isinstance(v, str) else v)
+        except (TypeError, ValueError):
+            out.append(v)
+    return out
 
 
 def not_in_set(kwargs: dict) -> Column:
@@ -78,7 +111,7 @@ def not_in_set(kwargs: dict) -> Column:
     value_set = kwargs.get("value_set")
     if not value_set:
         return F.lit(True)
-    return ~_c(kwargs).isin(list(value_set))
+    return ~_c(kwargs).isin(_maybe_parse_set(kwargs, value_set))
 
 
 def value_length_between(kwargs: dict) -> Column:

@@ -110,9 +110,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     if max_pairs_per_shingle is not None:
         # df*(df-1)/2 <= cap  <=>  df <= (1 + sqrt(1+8*cap)) / 2
         max_df = int((1 + (1 + 8 * max_pairs_per_shingle) ** 0.5) // 2)
-        keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_df).select("shingle"))
-        sh = sh.join(keep, "shingle", "left_semi")
+        # the HOT set is tiny by construction (each member appears in >max_df
+        # docs), so broadcast it into an anti-join — the big side never
+        # shuffles for the guard
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

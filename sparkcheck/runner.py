@@ -146,9 +146,33 @@ class ValidationRun:
 
     def _between_evr(self, item: CompiledItem, value: Any) -> ExpectationValidationResult:
         kw = item.kwargs
+        min_v, max_v = kw.get("min_value"), kw.get("max_value")
+        if kw.get("parse_strings_as_datetimes"):
+            # deprecated reference kwarg (expectation.py:1338-1360): string
+            # bounds parsed with dateutil; the observed datetime is rendered
+            # with output_strftime_format (or str) in the result
+            from dateutil.parser import parse as _parse
+            for name, b in (("min", min_v), ("max", max_v)):
+                if b is not None:
+                    try:
+                        parsed = _parse(b)
+                    except (TypeError, ValueError):
+                        continue
+                    if name == "min":
+                        min_v = parsed
+                    else:
+                        max_v = parsed
         out = validate_metric_value_between(
-            value, kw.get("min_value"), kw.get("max_value"),
+            value, min_v, max_v,
             kw.get("strict_min", False), kw.get("strict_max", False))
+        if kw.get("parse_strings_as_datetimes") and out["result"].get(
+                "observed_value") is not None:
+            import datetime as _dt
+            ov = out["result"]["observed_value"]
+            if isinstance(ov, (_dt.datetime, _dt.date)):
+                fmt = kw.get("output_strftime_format")
+                out["result"]["observed_value"] = (
+                    ov.strftime(fmt) if fmt else str(ov))
         return ExpectationValidationResult(
             success=out["success"], expectation_config=item.config, result=out["result"])
 

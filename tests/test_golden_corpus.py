@@ -36,8 +36,9 @@ SECTIONS = [
 ]
 
 # kwargs the spark reference itself doesn't support, or pandas-only semantics
+# (condition_parser corpus cases are all parser='pandas' or 'bad_parser'; the
+# GE mini-DSL parser is covered in test_extended_expectations instead)
 SKIP_KWARGS = {
-    "parse_strings_as_datetimes", "output_strftime_format",
     "allow_cross_type_comparisons", "condition_parser",
 }
 
@@ -151,6 +152,27 @@ def _sorted(v):
     return sorted((x for x in (v or [])), key=lambda x: (x is None, str(type(x)), str(x)))
 
 
+def _dt_normalized(v):
+    """For parse_strings_as_datetimes cases only: the corpus 'out' renders
+    values as pandas Timestamp isoformat ('2018-01-01T00:00:00') while Spark
+    yields date/datetime objects or '2018-01-01' strings — same instant,
+    different rendering. Map every parseable value to its isoformat."""
+    from dateutil.parser import parse as _p
+    import datetime as _dt
+
+    def one(x):
+        if isinstance(x, (_dt.datetime, _dt.date)):
+            return (x if isinstance(x, _dt.datetime)
+                    else _dt.datetime(x.year, x.month, x.day)).isoformat()
+        if isinstance(x, str):
+            try:
+                return _p(x).isoformat()
+            except (ValueError, OverflowError):
+                return x
+        return x
+    return [one(x) for x in (v or [])]
+
+
 def _num_close(a, b, rtol=1e-6):
     try:
         fa, fb = float(a), float(b)
@@ -222,15 +244,17 @@ def test_golden_case(spark, etype, dataset, schemas, test):
             f"result={ {k: v for k, v in res.result.items() if k != 'details'} }")
     if "unexpected_count" in out:
         assert res.result.get("unexpected_count") == out["unexpected_count"]
+    dtnorm = (_dt_normalized if kwargs.get("parse_strings_as_datetimes")
+              else (lambda x: x or []))
     for field in ("unexpected_list", "partial_unexpected_list"):
         if field in out:
             ours = res.result.get(field)
-            assert _sorted(ours) == _sorted(out[field]), (
+            assert _sorted(dtnorm(ours)) == _sorted(dtnorm(out[field])), (
                 f"{field}: ours={_sorted(ours)} expected={_sorted(out[field])}")
     if "observed_value" in out:
         ov, ours = out["observed_value"], res.result.get("observed_value")
         if isinstance(ov, list) and isinstance(ours, list):
-            assert _sorted(ours) == _sorted(ov)
+            assert _sorted(dtnorm(ours)) == _sorted(dtnorm(ov))
         elif isinstance(ov, dict) and isinstance(ours, dict):
             # quantile-style observed values; corpus rounds to ~5 decimals
             assert set(ov) <= set(ours), f"observed keys: {ours} vs {ov}"
