@@ -919,6 +919,49 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (rolling k-gram hash + window-min,
+    Schleimer et al. SIGMOD 2003) — map-side Catalyst expression per doc,
+    one groupBy for the sharing stats."""
+    from sparkcheck.pipeline.text import winnow_fingerprints
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    shared = (fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") > 1))
+    agg = fp.agg(
+        F.count_distinct("doc_id").alias("docs_with_fps"),
+        F.count(F.lit(1)).alias("total_doc_fps"),
+        F.count_distinct("fingerprint").alias("distinct_fps"))
+    return agg.crossJoin(
+        shared.agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps")))
+
+
+_SQL_TEXT_WINNOW = """
+WITH norm AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 10000) AS t
+  FROM documents),
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t)-7, 0)),
+                            i -> md5(substr(t, i, 8))) AS h FROM norm),
+m AS (SELECT doc_id,
+             CASE WHEN len(h) >= 4
+                  THEN list_transform(generate_series(1, len(h)-3),
+                                      j -> list_aggregate(h[j:j+3], 'min'))
+                  WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
+                  ELSE [] END AS fps FROM g),
+p AS (SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM m)
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_fps,
+       CAST(count(*) AS BIGINT) AS total_doc_fps,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS distinct_fps,
+       CAST((SELECT count(*) FROM
+             (SELECT fingerprint FROM p GROUP BY 1 HAVING count(*) > 1))
+            AS BIGINT) AS shared_fps
+FROM p
+"""
+
+
+
 # ---------------------- audio (binary decode; closed-form literal oracles)
 
 
@@ -1076,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_winnow": q_text_winnow,
         "audio_snr_invariant": q_audio_snr,
         "audio_suite_partitions": q_audio_suite_partitions,
         "audio_features": q_audio_features,
@@ -1120,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _SQL_TEXT_TOKENS,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_TEXT_LANGID,
+        "text_winnow": _SQL_TEXT_WINNOW,
         **_audio_oracle_sql(),
     }
 

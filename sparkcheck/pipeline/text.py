@@ -85,3 +85,68 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(text: Column) -> Column:
     """Normalized document fingerprint: lowercase, collapse whitespace, md5."""
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8, window: int = 4,
+                        max_chars: int = 10_000) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD
+    2003): hash every k-char gram of the normalized text, then keep the
+    minimum hash of each `window` consecutive grams; the distinct minima are
+    the doc's fingerprints. Any shared substring of length >= k + window - 1
+    yields a shared fingerprint. Returns (id, fingerprint) distinct pairs.
+
+    Spark-first and map-side only — no shuffle until the caller aggregates
+    fingerprints. The rolling min is a sparse-table doubling over zip_with
+    (least of the array and its d-shifted self, d = 1, 2, ...), NOT
+    array_min(slice(grams, j, w)) per position: Catalyst does no CSE inside
+    higher-order-function lambdas, so the slice form re-evaluates the whole
+    md5 gram array per window position — O(n^2) hashes per doc (measured
+    ~1.4 s/doc); the doubling form is O(n log w) lambda calls with a
+    constant ~w recompute factor. md5 is the gram hash because it is
+    engine-portable (the DuckDB oracle computes the identical set); a
+    production variant at 10^12 docs would swap in xxhash64 (~5x cheaper)
+    since the hash only needs consistency, not portability. `max_chars` caps
+    the per-row gram expansion. Docs shorter than k yield no fingerprints;
+    docs with fewer than `window` grams yield one (the min over all grams),
+    per the original algorithm."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 1, max_chars)
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard the
+    # short-doc case explicitly
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: F.md5(norm.substr(i, F.lit(k))))
+    ).otherwise(F.array().cast("array<string>"))
+
+    def shifted_min(arr, d):
+        # element-wise least of arr[j] and arr[j+d] -> minima of (d+1)-spans
+        # built from smaller spans; result length = len(arr) - d
+        ln = F.size(arr) - F.lit(d)
+        return F.zip_with(F.slice(arr, 1, ln), F.slice(arr, 1 + d, ln),
+                          lambda a, b: F.least(a, b))
+
+    # Materialize the gram array behind a projection boundary: the outer
+    # select references the alias several times, so CollapseProject keeps
+    # the two projections separate and the md5 array is computed ONCE per
+    # row (inlining would re-evaluate it per reference).
+    staged = df.select(F.col(id_col), grams.alias("__grams"))
+    g = F.col("__grams")
+
+    # sparse table: T_p holds minima over p consecutive grams
+    mins, p = g, 1
+    while p * 2 <= window:
+        mins = shifted_min(mins, p)
+        p *= 2
+    if p < window:
+        mins = shifted_min(mins, window - p)
+    out = F.when(F.size(g) >= window, mins) \
+        .when(F.size(g) >= 1, F.array(F.array_min(g))) \
+        .otherwise(F.array().cast("array<string>"))
+    return (staged.select(F.col(id_col),
+                          F.explode(F.array_distinct(out)).alias("fingerprint"))
+            .distinct())

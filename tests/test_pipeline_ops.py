@@ -95,3 +95,46 @@ class TestDedupOps:
         dist_ab = bin(h["a"] ^ h["b"]).count("1")
         dist_ac = bin(h["a"] ^ h["c"]).count("1")
         assert dist_ab < dist_ac
+
+
+class TestWinnowFingerprints:
+    def _brute(self, text, k=8, window=4, max_chars=10_000):
+        import hashlib, re
+        norm = re.sub(r"\s+", " ", text.lower())[:max_chars]
+        grams = [hashlib.md5(norm[i:i + k].encode()).hexdigest()
+                 for i in range(max(len(norm) - k + 1, 0))]
+        if not grams:
+            return set()
+        if len(grams) < window:
+            return {min(grams)}
+        return {min(grams[j:j + window]) for j in range(len(grams) - window + 1)}
+
+    def test_matches_bruteforce(self, spark):
+        rows = [("a", "The quick brown fox jumps over the lazy dog"),
+                ("b", "the  QUICK brown fox jumps over a sleepy cat"),
+                ("c", "completely unrelated text with nothing shared here"),
+                ("d", "tiny"),          # shorter than k -> no fingerprints
+                ("e", ""),              # empty -> none
+                ("f", "exactly9!"),     # 2 grams < window -> single min
+                ("g", "0123456789a")]   # 4 grams == window -> one window
+        from sparkcheck.pipeline.text import winnow_fingerprints
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {}
+        for r in winnow_fingerprints(df, k=8, window=4).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        for doc_id, text in rows:
+            assert got.get(doc_id, set()) == self._brute(text), doc_id
+
+    def test_shared_substring_guarantee(self, spark):
+        """Docs sharing a substring of length >= k+window-1 must share a
+        fingerprint (the winnowing guarantee)."""
+        from sparkcheck.pipeline.text import winnow_fingerprints
+        shared = "this exact sentence appears in both documents verbatim"
+        df = spark.createDataFrame(
+            [("x", "prefix words then " + shared + " and a unique ending"),
+             ("y", shared + " with a completely different continuation")],
+            "doc_id string, text string")
+        got = {}
+        for r in winnow_fingerprints(df, k=8, window=4).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert got["x"] & got["y"]
