@@ -113,3 +113,85 @@ def validate_stream(stream_df: DataFrame, suite: ExpectationSuite, *,
     sv = StreamValidator(suite, store_path=store_path, tables=tables,
                          result_format=result_format)
     return sv, sv.start(stream_df, checkpoint_dir=checkpoint_dir)
+
+
+def windowed_profile(stream_df: DataFrame, *, time_col: str,
+                     window_seconds: int, watermark_seconds: int,
+                     value_col: str,
+                     bins: list[float] | None = None) -> DataFrame:
+    """Native streaming windowed column profile with late-data handling
+    (north-star: 'watermarks + windowed aggs for late data').
+
+    Unlike the foreachBatch path (which profiles whatever arrived in a
+    micro-batch), this is an EVENT-TIME window: rows are assigned to fixed
+    tumbling windows of their own timestamps, late rows up to the watermark
+    still update their window, and a window's aggregate finalizes once the
+    watermark passes its end. Returns a streaming DataFrame of per-window
+    profile rows (count / nulls / mean / stddev / min / max, plus optional
+    histogram bucket counts for drift scoring) — the same slot shapes the
+    fused batch pass produces, computed incrementally by Spark's stateful
+    aggregation instead of a re-scan."""
+    from pyspark.sql import functions as F
+    col = F.col(value_col)
+    aggs = [
+        F.count(F.lit(1)).alias("element_count"),
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("null_count"),
+        F.avg(col).alias("mean"),
+        F.stddev_samp(col).alias("stddev"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+    ]
+    for i, (lo, hi) in enumerate(zip(bins or [], (bins or [])[1:])):
+        last = i == len(bins) - 2
+        cond = (col >= lo) & ((col <= hi) if last else (col < hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"bin_{i}"))
+    return (stream_df
+            .withWatermark(time_col, f"{watermark_seconds} seconds")
+            .groupBy(F.window(F.col(time_col), f"{window_seconds} seconds"))
+            .agg(*aggs)
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"), "*")
+            .drop("window"))
+
+
+def stateful_unique_violations(stream_df: DataFrame, key_col: str,
+                               *, timeout_seconds: int | None = None) -> DataFrame:
+    """Cross-batch uniqueness via applyInPandasWithState (north-star:
+    'applyInPandasWithState for custom stateful operators').
+
+    The per-micro-batch engine can only see duplicates WITHIN a batch; this
+    operator keeps one state row per key (times seen so far) in the streaming
+    state store, so a clip_id that re-appears three batches later is still
+    flagged. Emits one row per duplicate observation:
+    (key, seen_count, dup_in_batch). State is per-key-partitioned — scales
+    with the state store (RocksDB on a real cluster), no driver state.
+    ``timeout_seconds`` expires idle keys (bounded state for unbounded
+    streams; a key re-appearing after expiry is treated as new — the
+    documented tradeoff of bounded-memory streaming dedup)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{key_col} string, seen_count bigint, dup_in_batch bigint")
+    state_schema = "seen bigint"
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        (seen,) = state.get if state.exists else (0,)
+        total = seen + n_new
+        state.update((total,))
+        if timeout_seconds is not None:
+            state.setTimeoutDuration(timeout_seconds * 1000)
+        if total > 1:
+            yield pd.DataFrame({key_col: [key[0]], "seen_count": [total],
+                                "dup_in_batch": [n_new]})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_seconds is not None else GroupStateTimeout.NoTimeout)
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(track, out_schema, state_schema,
+                                    "append", timeout))
