@@ -925,6 +925,10 @@ def q_text_winnow(spark, sf_dir):
     one groupBy for the sharing stats."""
     from sparkcheck.pipeline.text import winnow_fingerprints
     d = _t(spark, sf_dir, "documents")
+    # the sf test tables are single parquet files => one input partition; the
+    # winnowing expression is CPU-bound map-side work, so spread it (at real
+    # scale the input has thousands of partitions and needs no repartition)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     fp = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
     shared = (fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n"))
               .filter(F.col("n") > 1))
