@@ -107,6 +107,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles carry ~zero similarity signal anyway; they appear everywhere).
     Pass None to disable (exact semantics, unbounded skew)."""
     sh = shingles(df, id_col, text_col, shingle_n)
+    # sh feeds four consumers (hot-list, both self-join sides, sizes); as a
+    # plan subtree each would re-scan + re-explode + re-distinct the corpus
+    # (measured: 9 FileScans). A lazy localCheckpoint rebases them all on ONE
+    # materialized RDD — computed once at first use, blocks reused by every
+    # consumer (MEMORY_AND_DISK, so it spills rather than OOMs).
+    sh = sh.localCheckpoint(eager=False)
     if max_pairs_per_shingle is not None:
         # df*(df-1)/2 <= cap  <=>  df <= (1 + sqrt(1+8*cap)) / 2
         max_df = int((1 + (1 + 8 * max_pairs_per_shingle) ** 0.5) // 2)
