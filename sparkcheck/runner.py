@@ -303,7 +303,13 @@ class ValidationRun:
             ks = sketches.ks_statistic(counts, expected)
             n_eff = sum(counts)
             value = sketches.ks_p_value(ks, n_eff)
-            details = {"ks_statistic": ks, "n_effective": n_eff}
+            details = {"ks_statistic": ks, "n_effective": n_eff,
+                       # semantic divergence from the reference, by design:
+                       # the reference (pandas-only) bootstraps RAW samples;
+                       # ours scores the KS asymptotic p on the BINNED sketch
+                       # (mergeable across partitions, bounded memory) — the
+                       # p-values differ, especially at small n
+                       "method": "asymptotic_ks_on_binned_sketch"}
         else:
             value, details = sketches.chisquare_statistic(counts, expected), {}
         threshold = float(kw["threshold"])
