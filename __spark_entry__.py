@@ -966,6 +966,69 @@ FROM p
 
 
 
+def q_stream_windowed_profile(spark, sf_dir):
+    """SURVEY §2.9: event-time windowed profile over a STREAM (watermark +
+    tumbling windows, append mode) of the events table, run to completion
+    with availableNow. Emitted set = windows closed by the final watermark
+    (window_end <= max(ts) - delay) — deterministic on the fixed table, so
+    the batch-SQL oracle reproduces it exactly."""
+    import re as _re
+    import shutil as _sh
+    import tempfile as _tf
+    from pyspark.sql import types as T
+    from sparkcheck.streaming import windowed_profile
+
+    stage = "/tmp/sc_stream_stage_" + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    _sh.rmtree(stage, ignore_errors=True)
+    import os as _os
+    _os.makedirs(stage)
+    _sh.copy(f"{sf_dir}/events.parquet", stage + "/events.parquet")
+    base_schema = spark.read.parquet(stage).schema
+    schema = T.StructType([
+        T.StructField(f.name,
+                      T.TimestampType() if f.name == "ts" else f.dataType)
+        for f in base_schema])
+    stream = spark.readStream.schema(schema).parquet(stage)
+    prof = windowed_profile(stream, time_col="ts", window_seconds=3600,
+                            watermark_seconds=1800, value_col="value")
+    try:
+        spark.catalog.dropTempView("sc_winprof")
+    except Exception:
+        pass  # first run: nothing to drop
+    q = (prof.writeStream.format("memory").queryName("sc_winprof")
+         .outputMode("append")
+         .option("checkpointLocation", _tf.mkdtemp(prefix="sc_winprof_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.sql("SELECT * FROM sc_winprof")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("element_count").cast("bigint").alias("element_count"),
+        F.col("null_count").cast("bigint").alias("null_count"),
+        F.round("mean", 4).alias("mean_v"),
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"))
+
+
+_SQL_STREAM_WINDOWED = """
+WITH e AS (SELECT ts, value FROM events),
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e),
+agg AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+               CAST(count(*) AS BIGINT) AS element_count,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_count,
+               round(avg(value), 4) AS mean_v,
+               round(min(value), 4) AS min_v,
+               round(max(value), 4) AS max_v
+        FROM e GROUP BY 1)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       element_count, null_count, mean_v, min_v, max_v
+FROM agg, wm
+WHERE ws + INTERVAL '1 hour' <= wm.w
+"""
+
+
+
 # ---------------------- audio (binary decode; closed-form literal oracles)
 
 
@@ -1124,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
+        "stream_windowed_profile": q_stream_windowed_profile,
         "audio_snr_invariant": q_audio_snr,
         "audio_suite_partitions": q_audio_suite_partitions,
         "audio_features": q_audio_features,
@@ -1169,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_TEXT_LANGID,
         "text_winnow": _SQL_TEXT_WINNOW,
+        "stream_windowed_profile": _SQL_STREAM_WINDOWED,
         **_audio_oracle_sql(),
     }
 
