@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -141,9 +142,25 @@ def main() -> None:
     ensure_tables()
 
     def child(cpus: int) -> dict:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
-            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        # run each level via spark-submit --py-files (the north rule's
+        # execution mode) when available; plain python is the fallback
+        submit = (shutil.which("spark-submit")
+                  or (os.path.join(os.environ["SPARK_HOME"], "bin", "spark-submit")
+                      if os.environ.get("SPARK_HOME") else None)
+                  or ("/opt/spark/bin/spark-submit"
+                      if os.path.exists("/opt/spark/bin/spark-submit") else None))
+        if submit:
+            subprocess.run([sys.executable,
+                            os.path.join(REPO, "scripts", "make_pyfiles.py")],
+                           check=True, capture_output=True)
+            cmd = [submit, "--master", f"local[{cpus}]",
+                   "--driver-memory", "24g",
+                   "--py-files", os.path.join(REPO, "dist", "sparkcheck.zip"),
+                   os.path.abspath(__file__), "--run", str(cpus)]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                              timeout=3600)
         for line in proc.stdout.splitlines():
             if line.startswith("SCALERESULT "):
                 return json.loads(line[len("SCALERESULT "):])
