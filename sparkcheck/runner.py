@@ -1150,12 +1150,19 @@ def resolve_evaluation_parameters(
     def subst(v):
         if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
             name = v["$PARAMETER"]
-            if params is None or name not in params:
+            if params is not None and name in params:
+                return params[name]
+            # the reference allows EXPRESSIONS here — arithmetic, round/trunc,
+            # and temporal builtins now()/datetime()/timedelta(), possibly
+            # referencing supplied params (core/evaluation_parameters.py)
+            from .eval_params import evaluate_parameter_expression
+            try:
+                return evaluate_parameter_expression(name, params)
+            except Exception:
                 # leave unresolved: ValidationRun converts it into a
                 # per-expectation exception EVR (catch_exceptions semantics),
                 # instead of aborting the whole validate() call here
                 return v
-            return params[name]
         if isinstance(v, dict):
             return {k: subst(x) for k, x in v.items()}
         if isinstance(v, list):

@@ -269,3 +269,32 @@ class TestGeDslRowCondition:
                {"min_value": 0, "row_condition": 'col("x") > 5'}),
         ])
         assert len(plan.domains) == 2
+
+
+def test_parameter_expressions(spark):
+    """$PARAMETER values may be expressions: temporal builtins + arithmetic
+    (reference core/evaluation_parameters.py)."""
+    import datetime
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.eval_params import (ParameterExpressionError,
+                                        evaluate_parameter_expression)
+    assert evaluate_parameter_expression("3 * 7 + 1") == 22
+    assert evaluate_parameter_expression("round(10 / 3)") == 3
+    assert evaluate_parameter_expression("trunc(x * 2)", {"x": 2.6}) == 5
+    assert evaluate_parameter_expression("datetime(2003, 1, 1)") == \
+        datetime.datetime(2003, 1, 1)
+    delta = datetime.datetime.now() - evaluate_parameter_expression(
+        "now() - timedelta(weeks=52)")
+    assert abs(delta - datetime.timedelta(weeks=52)) < datetime.timedelta(minutes=5)
+    # whitelist: attribute access / imports / subscripts are rejected
+    import pytest as _pytest
+    for bad in ("__import__('os')", "().__class__", "x[0]", "open('f')"):
+        with _pytest.raises((ParameterExpressionError, KeyError)):
+            evaluate_parameter_expression(bad, {"x": [1]})
+    # end-to-end: a timestamp bound from now()
+    df = spark.createDataFrame(
+        [(datetime.datetime(2020, 1, 1),)], "ts timestamp")
+    suite = ExpectationSuite("t").add(
+        "expect_column_values_to_be_between", column="ts",
+        max_value={"$PARAMETER": "now()"})
+    assert validate(df, suite).results[0].success

@@ -220,9 +220,8 @@ def test_golden_case(spark, etype, dataset, schemas, test):
         kwargs = dict(raw_in)
     if SKIP_KWARGS & set(kwargs):
         pytest.skip(f"out-of-scope kwargs: {SKIP_KWARGS & set(kwargs)}")
-    # evaluation-parameter tests provide $PARAMETER kwargs without values here
-    if any(isinstance(v, dict) and "$PARAMETER" in v for v in kwargs.values()):
-        pytest.skip("evaluation-parameter binding exercised in unit tests")
+    # $PARAMETER kwargs: temporal/arithmetic expressions (now(), timedelta,
+    # datetime) are evaluated by sparkcheck.eval_params — no skip needed
     df = _build_df(spark, dataset["data"], schemas)
 
     suite = ExpectationSuite("golden").add(etype, **kwargs)
