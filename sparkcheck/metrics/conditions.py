@@ -401,7 +401,7 @@ def compound_columns_unique(kwargs: dict) -> Column:
 
 _GE_DSL_RE = re.compile(
     r'^\s*col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)\s*'
-    r'(?:(?P<notnull>\.notnull\(\))|'
+    r'(?:(?P<notnull>\.\s*notnull\s*\(\s*\))|'
     r'(?P<op>>=|<=|==|>|<)\s*'
     r'(?:(?P<fnumber>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)|'
     r'"(?P<dq>[A-Za-z0-9.]+)"|'
