@@ -999,7 +999,9 @@ def q_stream_windowed_profile(spark, sf_dir):
          .outputMode("append")
          .option("checkpointLocation", _tf.mkdtemp(prefix="sc_winprof_ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_windowed_profile query did not finish in 300s")
     out = spark.sql("SELECT * FROM sc_winprof")
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -36,21 +36,32 @@ from .types import ExpectationSuite
 
 VERDICT_FIELDS = [
     "group_id", "snapshot_id", "checkpoint_epoch", "suite_name",
-    "expectation_type", "domain", "success", "element_count",
+    "config_id", "expectation_type", "domain", "success", "element_count",
     "nonnull_count", "unexpected_count", "mostly", "unexpected_sample_json",
 ]
+
+
+def config_id(etype: str, kwargs: dict) -> str:
+    """Deterministic id of one expectation CONFIG. Two expectations of the
+    same type on the same column but different kwargs (bounds, mostly, ...)
+    must never be merged by the rollup — (type, domain) alone collides."""
+    import hashlib
+    import json as _json
+    blob = _json.dumps([etype, kwargs], sort_keys=True, default=str)
+    return hashlib.md5(blob.encode()).hexdigest()[:16]
 
 # Verdict stores are written with an explicit schema (`mostly` would otherwise
 # infer as a null-typed parquet column when a suite has no count-based
 # expectations) and a format version in the manifest so a reader never
 # silently mixes incompatible layouts.
-STORE_FORMAT_VERSION = 2
+STORE_FORMAT_VERSION = 3
 
 VERDICT_SCHEMA = pa.schema([
     ("group_id", pa.string()),
     ("snapshot_id", pa.string()),
     ("checkpoint_epoch", pa.int64()),
     ("suite_name", pa.string()),
+    ("config_id", pa.string()),
     ("expectation_type", pa.string()),
     ("domain", pa.string()),
     ("success", pa.bool_()),
@@ -141,8 +152,8 @@ class Checkpoint:
                 raise ValueError(
                     f"verdict store at {self.store_path} has format_version "
                     f"{found}, this engine writes {STORE_FORMAT_VERSION}; "
-                    "point the checkpoint at a fresh store_path (v1 stores "
-                    "used int group_id and lacked nonnull_count/mostly — "
+                    "point the checkpoint at a fresh store_path (v1/v2 stores "
+                    "lacked the config_id column and v1 used int group_id — "
                     "they cannot be resumed or rolled up by this version)")
             return manifest
         return {"committed_groups": [], "epoch": 0}
@@ -234,6 +245,7 @@ class Checkpoint:
                 rows["snapshot_id"].append(snapshot_id)
                 rows["checkpoint_epoch"].append(epoch)
                 rows["suite_name"].append(self.suite.expectation_suite_name)
+                rows["config_id"].append(config_id(etype, kw))
                 rows["expectation_type"].append(etype)
                 rows["domain"].append(
                     kw.get("column") or ",".join(kw.get("column_list", [])) or "")
@@ -284,7 +296,7 @@ class Checkpoint:
         is required."""
         from .results import mostly_success
         v = self.verdicts(spark)
-        agg = (v.groupBy("expectation_type", "domain")
+        agg = (v.groupBy("config_id", "expectation_type", "domain")
                .agg(F.min(F.col("success").cast("int")).cast("boolean").alias("all_groups_success"),
                     F.sum("element_count").alias("element_count"),
                     F.sum("nonnull_count").alias("nonnull_count"),
@@ -299,13 +311,14 @@ class Checkpoint:
                     int(r["unexpected_count"]), float(r["mostly"]))
             else:
                 success = bool(r["all_groups_success"])
-            rows.append((r["expectation_type"], r["domain"], bool(success),
-                         bool(r["all_groups_success"]), int(r["element_count"]),
-                         int(r["unexpected_count"]), int(r["n_groups"])))
+            rows.append((r["config_id"], r["expectation_type"], r["domain"],
+                         bool(success), bool(r["all_groups_success"]),
+                         int(r["element_count"]), int(r["unexpected_count"]),
+                         int(r["n_groups"])))
         return spark.createDataFrame(
-            rows, "expectation_type string, domain string, success boolean, "
-                  "all_groups_success boolean, element_count bigint, "
-                  "unexpected_count bigint, n_groups bigint")
+            rows, "config_id string, expectation_type string, domain string, "
+                  "success boolean, all_groups_success boolean, "
+                  "element_count bigint, unexpected_count bigint, n_groups bigint")
 
 
 def parameters_from_verdicts(spark, store_path: str) -> dict:
@@ -319,14 +332,21 @@ def parameters_from_verdicts(spark, store_path: str) -> dict:
     (e.g. today's row count must equal yesterday's)."""
     from pyspark.sql import functions as F
     v = spark.read.parquet(os.path.join(store_path, "verdicts"))
-    agg = (v.groupBy("expectation_type", "domain")
+    agg = (v.groupBy("config_id", "expectation_type", "domain")
            .agg(F.sum("element_count").alias("element_count"),
                 F.sum("unexpected_count").alias("unexpected_count")).collect())
+    from collections import Counter
+    base_counts = Counter(f"{r['expectation_type']}:{r['domain']}" for r in agg)
     params: dict = {}
     for r in agg:
         base = f"{r['expectation_type']}:{r['domain']}"
-        params[f"{base}:element_count"] = int(r["element_count"])
-        params[f"{base}:unexpected_count"] = int(r["unexpected_count"])
+        # the short key is only meaningful when exactly one config has this
+        # (type, domain); ambiguous stores expose only the config_id keys
+        if base_counts[base] == 1:
+            params[f"{base}:element_count"] = int(r["element_count"])
+            params[f"{base}:unexpected_count"] = int(r["unexpected_count"])
+        params[f"{base}#{r['config_id']}:element_count"] = int(r["element_count"])
+        params[f"{base}#{r['config_id']}:unexpected_count"] = int(r["unexpected_count"])
     if agg:
         params["table.row_count"] = max(int(r["element_count"]) for r in agg)
     return params

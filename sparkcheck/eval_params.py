@@ -30,12 +30,30 @@ _FUNCS: dict[str, Any] = {
     "max": max,
 }
 
+def _guarded_pow(a: Any, b: Any) -> Any:
+    # unbounded ** can hang/OOM the driver (10**10**10); parameters never
+    # legitimately need huge exponents
+    if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+        raise ParameterExpressionError("** requires numbers")
+    if abs(b) > 64 or abs(a) > 1e9:
+        raise ParameterExpressionError("** operands out of allowed range")
+    return a ** b
+
+
+def _guarded_mult(a: Any, b: Any) -> Any:
+    # sequence repetition ('a' * 10**9) is a driver-memory bomb; parameters
+    # only need numeric (and timedelta) multiplication
+    if isinstance(a, (str, list, tuple)) or isinstance(b, (str, list, tuple)):
+        raise ParameterExpressionError("sequence repetition not allowed")
+    return a * b
+
+
 _BINOPS = {
     ast.Add: lambda a, b: a + b,
     ast.Sub: lambda a, b: a - b,
-    ast.Mult: lambda a, b: a * b,
+    ast.Mult: _guarded_mult,
     ast.Div: lambda a, b: a / b,
-    ast.Pow: lambda a, b: a ** b,
+    ast.Pow: _guarded_pow,
     ast.Mod: lambda a, b: a % b,
 }
 

@@ -92,7 +92,12 @@ def in_set(kwargs: dict) -> Column:
 
 def _maybe_parse_set(kwargs: dict, value_set) -> list:
     """parse_strings_as_datetimes on in_set/not_in_set: parse string members
-    with dateutil (column_values_in_set.py:86-99)."""
+    with dateutil. NOTE a deliberate semantic choice: the reference's SPARK
+    engine ignores this kwarg entirely ('just compare the strings as is',
+    column_values_in_set.py:84-91) while its pandas engine parses the set —
+    and the golden corpus 'out' encodes the PANDAS behavior, which is also
+    the only useful one (the corpus datetime cases are spark-suppressed in
+    the reference). We implement the pandas semantics."""
     if not kwargs.get("parse_strings_as_datetimes"):
         return list(value_set)
     from dateutil.parser import parse
@@ -399,14 +404,17 @@ def compound_columns_unique(kwargs: dict) -> Column:
     return F.count(F.lit(1)).over(Window.partitionBy(*cols)) <= 1
 
 
+# Prefix match, NOT fully anchored: the reference parses with pyparsing
+# parseString(parseAll=False), which silently IGNORES trailing text
+# ('col("x") > 5 AND ...' filters on x>5). `col("` is a case-SENSITIVE
+# Literal there; only `.notnull()` is a CaselessLiteral.
 _GE_DSL_RE = re.compile(
     r'^\s*col\("(?P<column>[A-Za-z][A-Za-z0-9_.]*)"\)\s*'
-    r'(?:(?P<notnull>\.\s*notnull\s*\(\s*\))|'
+    r'(?:(?P<notnull>\.\s*(?i:notnull)\s*\(\s*\))|'
     r'(?P<op>>=|<=|==|>|<)\s*'
     r'(?:(?P<fnumber>[+-]?\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)|'
     r'"(?P<dq>[A-Za-z0-9.]+)"|'
-    r"'(?P<sq>[A-Za-z0-9.]+)'))\s*$",
-    re.IGNORECASE)
+    r"'(?P<sq>[A-Za-z0-9.]+)'))")
 
 
 def parse_ge_dsl_condition(row_condition: str) -> Column:

@@ -93,7 +93,8 @@ def lsh_candidate_stats(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 1, threshold: float = 0.8,
-                  max_pairs_per_shingle: int | None = 1_000_000) -> DataFrame:
+                  max_pairs_per_shingle: int | None = 1_000_000,
+                  materialize: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     Returns (id_a, id_b, jaccard). At scale, feed LSH candidates instead of
     the raw self-join.
@@ -111,8 +112,14 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # plan subtree each would re-scan + re-explode + re-distinct the corpus
     # (measured: 9 FileScans). A lazy localCheckpoint rebases them all on ONE
     # materialized RDD — computed once at first use, blocks reused by every
-    # consumer (MEMORY_AND_DISK, so it spills rather than OOMs).
-    sh = sh.localCheckpoint(eager=False)
+    # consumer (MEMORY_AND_DISK, so it spills rather than OOMs). Lifecycle:
+    # the blocks are released by Spark's ContextCleaner once the returned
+    # DataFrame is garbage-collected (no explicit unpersist hook exists at
+    # this layer). Tradeoff: localCheckpoint truncates lineage, so losing an
+    # executor mid-job fails the job instead of recomputing — pass
+    # materialize=False on preemptible clusters (costs the repeated scans).
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     if max_pairs_per_shingle is not None:
         # df*(df-1)/2 <= cap  <=>  df <= (1 + sqrt(1+8*cap)) / 2
         max_df = int((1 + (1 + 8 * max_pairs_per_shingle) ** 0.5) // 2)

@@ -112,8 +112,16 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     per the original algorithm."""
     if window < 1:
         raise ValueError("window must be >= 1")
-    norm = F.substring(
+    norm_expr = F.substring(
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 1, max_chars)
+    # Stage the normalized text behind its own projection: the gram lambda
+    # below references it per element, and Catalyst does no CSE inside HOF
+    # lambdas — inlined, the lower+regexp_replace over the whole doc would
+    # re-run once per gram position (O(len^2) char work per row). The outer
+    # projection references __norm more than once, so CollapseProject keeps
+    # the boundary.
+    df = df.select(F.col(id_col), norm_expr.alias("__norm"))
+    norm = F.col("__norm")
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard the
     # short-doc case explicitly

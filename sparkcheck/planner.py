@@ -207,25 +207,28 @@ def _compile_agg_custom(dp: DomainPlan, item: CompiledItem) -> None:
             # the default sketch path or pass allow_relative_error.
             expr = F.percentile(col, F.array(*[F.lit(q) for q in quantiles]))
             item.slots["value"] = st.add(f"quantiles::{kwargs_id(kw)}", expr)
-        elif kw.get("exact") is True:
+        elif kw.get("exact") is True or (err is not False and err == 0):
             # reference-exact semantics: df.approxQuantile(.., 0.0) returns
             # the same order statistics with the same rank convention
             # (column_quantile_values.py:164-193) — resolved as its own small
             # job by the runner (info flag), not a fused slot. EXPLICIT
-            # opt-in: relativeError=0 buffers the whole column in the
+            # opt-in — either exact=True or an explicit
+            # allow_relative_error=0, the reference's own way to request
+            # exactness: relativeError=0 buffers the whole column in the
             # Greenwald-Khanna sketch (same unbounded-memory bound as
             # `percentile`).
             item.info["use_approx_quantile"] = True
         else:
-            # scale-safe DEFAULT: fused percentile_approx (bounded-memory
-            # KLL-style sketch, mergeable across partitions). With the
-            # default accuracy (Spark's 10000) the sketch holds every value
-            # until ~10^4 rows per partition, so small batches still get
-            # exact order statistics; above that the error is <= 1/accuracy
-            # relative rank. This diverges from the reference's exact-rank
-            # default by design — pass exact=True or interpolation="linear"
-            # to restore it (documented memory bound).
-            accuracy = (10_000 if err is False or err == 0
+            # scale-safe DEFAULT (allow_relative_error left unset): fused
+            # percentile_approx (bounded-memory KLL-style sketch, mergeable
+            # across partitions). With the default accuracy (Spark's 10000)
+            # the sketch holds every value until ~10^4 rows per partition,
+            # so small batches still get exact order statistics; above that
+            # the error is <= 1/accuracy relative rank. This diverges from
+            # the reference's exact-rank default by design — pass exact=True,
+            # allow_relative_error=0, or interpolation="linear" to restore
+            # it (documented memory bound).
+            accuracy = (10_000 if err is False
                         else max(1, int(1.0 / float(err))))
             expr = F.percentile_approx(
                 col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy))

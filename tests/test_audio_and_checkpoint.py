@@ -569,3 +569,27 @@ class TestProfileDrift:
         assert validate(today, s2, evaluation_parameters=params).success
         shrunk = today.limit(2000)
         assert not validate(shrunk, s2, evaluation_parameters=params).success
+
+
+class TestRollupConfigCollision:
+    def test_same_type_same_column_not_merged(self, spark, tmp_path):
+        """Two expectations of the same type on the same column but different
+        kwargs must roll up separately (config_id), not as summed garbage."""
+        df = spark.createDataFrame(
+            [(i, 10000 + (i % 5) * 10000) for i in range(200)],
+            "a bigint, sr_hz bigint")
+        suite = (ExpectationSuite("cc")
+                 .add("expect_column_values_to_be_between", column="sr_hz",
+                      min_value=8000, max_value=48000, mostly=0.9)
+                 .add("expect_column_values_to_be_between", column="sr_hz",
+                      min_value=0, max_value=20000, mostly=0.1))
+        store = str(tmp_path / "cc")
+        cp = Checkpoint(store, suite, group_key="a", n_groups=4)
+        cp.run(df)
+        roll = cp.rollup(spark).collect()
+        assert len(roll) == 2  # NOT merged into one (type, domain) row
+        direct_res = validate(df, suite)
+        got = sorted((r["unexpected_count"], r["success"]) for r in roll)
+        want = sorted((int(e.result["unexpected_count"]), bool(e.success))
+                      for e in direct_res.results)
+        assert got == want

@@ -238,11 +238,24 @@ class TestGeDslRowCondition:
         assert self._count(spark, df, "col(\"s\") == 'b'") == 1
         assert self._count(spark, df, 'col("s").notnull()') == 2
 
+    def test_trailing_text_ignored_like_reference(self, spark):
+        """pyparsing parseString(parseAll=False): trailing text after one
+        parsed condition is silently ignored by the reference."""
+        df = spark.createDataFrame([(i,) for i in range(10)], "x bigint")
+        assert self._count(
+            spark, df, 'col("x") > 5 AND col("x") > 100') == 4  # x>5 only
+
+    def test_case_sensitivity_matches_reference(self, spark):
+        from sparkcheck.metrics.conditions import parse_ge_dsl_condition
+        import pytest as _pytest
+        parse_ge_dsl_condition('col("x").NotNull()')  # notnull is caseless
+        with _pytest.raises(ValueError):
+            parse_ge_dsl_condition('COL("x") > 5')  # col( is case-sensitive
+
     def test_parse_errors(self, spark):
         from sparkcheck.metrics.conditions import parse_ge_dsl_condition
         import pytest as _pytest
-        for bad in ('col("x") > 5 AND col("y") > 1',   # no conjunctions
-                    'x > 5',                            # must use col("...")
+        for bad in ('x > 5',                            # must use col("...")
                     'col("s") > "a"'):                  # string only with ==
             with _pytest.raises(ValueError):
                 parse_ge_dsl_condition(bad)
@@ -298,3 +311,14 @@ def test_parameter_expressions(spark):
         "expect_column_values_to_be_between", column="ts",
         max_value={"$PARAMETER": "now()"})
     assert validate(df, suite).results[0].success
+
+
+def test_parameter_expression_resource_guards():
+    """Hostile/typo'd expressions must raise, not hang or OOM the driver."""
+    from sparkcheck.eval_params import (ParameterExpressionError,
+                                        evaluate_parameter_expression)
+    import pytest as _pytest
+    for bad in ("10**10**10", "'a' * 10**9", "10**1000", "[1] * 999999999"):
+        with _pytest.raises(ParameterExpressionError):
+            evaluate_parameter_expression(bad)
+    assert evaluate_parameter_expression("2 ** 10") == 1024
