@@ -43,6 +43,11 @@ def main() -> int:
                          "deterministic xxhash64 buckets")
     ap.add_argument("--reference", action="append", default=[],
                     help="name=path of a reference table (repeatable)")
+    ap.add_argument("--single-pass", action="store_true",
+                    help="validate ALL groups in one table scan (per-group "
+                         "verdicts from a rollup agg) instead of one scan "
+                         "per group — use when the layout cannot prune per "
+                         "group; commit is all-or-nothing")
     ap.add_argument("--snapshot-id", default="snap-0")
     ap.add_argument("--result-format", default="BASIC")
     ap.add_argument("--unique-strategy", default="exact", choices=["exact", "approx"])
@@ -78,7 +83,8 @@ def main() -> int:
                     tables=tables,
                     result_format=args.result_format,
                     unique_strategy=args.unique_strategy)
-    stats = cp.run(df, snapshot_id=snapshot_id)
+    stats = (cp.run_single_pass(df, snapshot_id=snapshot_id)
+             if args.single_pass else cp.run(df, snapshot_id=snapshot_id))
     rollup = cp.rollup(spark).collect()
     ok = all(r["success"] for r in rollup)
     print(json.dumps({

@@ -18,6 +18,9 @@ commit unit:
   manifest with an atomic rename. Killed mid-run => already-committed groups
   are skipped on resume; the in-flight group's file is overwritten (idempotent
   per-group file names => no duplicated verdict rows).
+- ``run_single_pass`` trades resume granularity for scans: ONE rollup scan
+  yields every group's verdict rows at once (the right mode when the storage
+  layout cannot prune per group — plain parquet without partition dirs).
 """
 
 from __future__ import annotations
@@ -44,9 +47,17 @@ VERDICT_FIELDS = [
 def config_id(etype: str, kwargs: dict) -> str:
     """Deterministic id of one expectation CONFIG. Two expectations of the
     same type on the same column but different kwargs (bounds, mostly, ...)
-    must never be merged by the rollup — (type, domain) alone collides."""
+    must never be merged by the rollup — (type, domain) alone collides.
+    Kwargs are normalized with the spec defaults first so the id is stable
+    whether it is computed from a raw config or from the planner's compiled
+    item (which merges defaults)."""
     import hashlib
     import json as _json
+    try:
+        from .expectations.defs import get_spec
+        kwargs = {**get_spec(etype).defaults, **kwargs}
+    except KeyError:
+        pass
     blob = _json.dumps([etype, kwargs], sort_keys=True, default=str)
     return hashlib.md5(blob.encode()).hexdigest()[:16]
 
@@ -275,6 +286,107 @@ class Checkpoint:
             "groups_committed": len(committed),
             "wall_sec": time.time() - t0,
         }
+
+    def run_single_pass(self, df: DataFrame, *, snapshot_id: str = "snap-0") -> dict:
+        """Validate ALL groups in ONE table scan instead of one scan per
+        group: the fused pass rolls up on the group-bucket expression
+        (``df.rollup(bucket).agg(...)``), yielding per-group verdict rows for
+        every fused expectation plus the exact global row, from a single
+        read. Expectations that need their own jobs (uniqueness, windows,
+        referential, audio) are evaluated once globally and stored as one
+        ``__global__`` row each (their exact whole-table counts — stricter
+        than per-group AND).
+
+        Tradeoff vs run(): one scan instead of n_groups scans (the win when
+        the storage layout cannot prune per group — plain parquet), but the
+        commit is all-or-nothing: a killed run resumes by re-running the
+        whole pass, not from the last group. With Iceberg-style per-group
+        partition pruning, prefer run().
+        """
+        if self.group_mode != "hash":
+            raise ValueError("run_single_pass supports group_mode='hash' only")
+        manifest = self._load_manifest()
+        committed = set(map(str, manifest["committed_groups"]))
+        epoch = manifest["epoch"] + 1
+        t0 = time.time()
+        if all(str(g) in committed for g in range(self.n_groups)):
+            return {"epoch": manifest["epoch"], "groups_total": self.n_groups,
+                    "groups_validated_this_run": 0,
+                    "groups_committed": len(committed),
+                    "wall_sec": time.time() - t0}
+
+        key = F.coalesce(F.col(self.group_key).cast("string"), F.lit("\x00null"))
+        bucket = F.pmod(F.abs(F.xxhash64(key)), F.lit(self.n_groups))
+        run = ValidationRun(
+            df.withColumn("__grp", bucket), tables=self.tables,
+            result_format=self.result_format, per_partition=True,
+            partition_col="__grp", unique_strategy=self.unique_strategy)
+        result = run.run(self.suite)
+
+        rows = {f: [] for f in VERDICT_FIELDS}
+
+        def emit(gid, etype, kw, success, element, nonnull, unexpected,
+                 count_based, sample_json="[]"):
+            rows["group_id"].append(str(gid))
+            rows["snapshot_id"].append(snapshot_id)
+            rows["checkpoint_epoch"].append(epoch)
+            rows["suite_name"].append(self.suite.expectation_suite_name)
+            rows["config_id"].append(config_id(etype, kw))
+            rows["expectation_type"].append(etype)
+            rows["domain"].append(
+                kw.get("column") or ",".join(kw.get("column_list", [])) or "")
+            rows["success"].append(bool(success))
+            rows["element_count"].append(int(element or 0))
+            rows["nonnull_count"].append(int(nonnull or 0))
+            rows["unexpected_count"].append(int(unexpected or 0))
+            rows["mostly"].append(
+                float(kw.get("mostly", 1.0)) if count_based else None)
+            rows["unexpected_sample_json"].append(sample_json)
+
+        # per-group rows only for count-decomposable kinds (map/audio):
+        # their summed counts equal the whole-table run, so the rollup's
+        # mostly recompute is exact. Aggregate/drift verdicts per group are
+        # NOT closed under AND (a group mean can breach bounds while the
+        # global mean passes) — those get their exact global row instead.
+        grouped_configs = set()
+        for pv in run.partition_verdicts:
+            if pv.get("kind") not in ("map", "audio"):
+                continue
+            if pv.get("element_count") is None:
+                continue
+            etype, kw = pv["expectation_type"], pv["config_kwargs"]
+            grouped_configs.add(config_id(etype, kw))
+            element = pv["element_count"]
+            missing = pv.get("missing_count") or 0
+            emit(pv["partition_id"], etype, kw, pv["success"],
+                 element, (element or 0) - missing,
+                 pv.get("unexpected_count"), count_based=True)
+        for evr in result.results:
+            etype = evr.expectation_config.expectation_type
+            kw = evr.expectation_config.kwargs
+            if config_id(etype, kw) in grouped_configs:
+                continue  # covered by per-group rows
+            element = int(evr.result.get("element_count") or 0)
+            missing = int(evr.result.get("missing_count") or 0)
+            emit("__global__", etype, kw, evr.success, element,
+                 element - missing,
+                 int(evr.result.get("unexpected_count") or 0),
+                 count_based=False,
+                 sample_json=json.dumps(
+                     evr.result.get("partial_unexpected_list", []), default=str))
+        table = pa.table(rows, schema=VERDICT_SCHEMA)
+        pq.write_table(table, os.path.join(
+            self.store_path, "verdicts", "single-pass.parquet"))
+        manifest = {"committed_groups": sorted(str(g) for g in range(self.n_groups)),
+                    "epoch": epoch, "format_version": STORE_FORMAT_VERSION,
+                    "group_mode": self.group_mode, "single_pass": True,
+                    "snapshot_id": snapshot_id,
+                    "suite": self.suite.expectation_suite_name}
+        self._commit(manifest)
+        return {"epoch": epoch, "groups_total": self.n_groups,
+                "groups_validated_this_run": self.n_groups,
+                "groups_committed": self.n_groups,
+                "wall_sec": time.time() - t0}
 
     def verdicts(self, spark) -> DataFrame:
         return spark.read.parquet(os.path.join(self.store_path, "verdicts"))

@@ -187,6 +187,11 @@ class ValidationRun:
             or ",".join(item.kwargs.get("column_list", []))
             or item.kwargs.get("column_A", ""),
             "success": bool(success),
+            # full kwargs so consumers (checkpoint single-pass) can identify
+            # the exact CONFIG — (type, domain) alone collides when a suite
+            # checks the same column twice with different bounds
+            "config_kwargs": dict(item.kwargs),
+            "kind": item.spec.kind,
             **extra,
         })
 
@@ -1077,6 +1082,8 @@ class ValidationRun:
                             self._record_partition_verdict(
                                 prow["__pid"], item, pevr.success,
                                 {"unexpected_count": pevr.result.get("unexpected_count"),
+                                 "element_count": pevr.result.get("element_count"),
+                                 "missing_count": pevr.result.get("missing_count"),
                                  "observed_value": _jsonable(pevr.result.get("observed_value"))})
                     except Exception:  # noqa: BLE001
                         pass

@@ -593,3 +593,68 @@ class TestRollupConfigCollision:
         want = sorted((int(e.result["unexpected_count"]), bool(e.success))
                       for e in direct_res.results)
         assert got == want
+
+
+class TestSinglePassCheckpoint:
+    def _suite(self):
+        return (ExpectationSuite("sp")
+                .add("expect_column_values_to_not_be_null", column="clip_id",
+                     mostly=0.99)
+                .add("expect_column_values_to_be_between", column="sr_hz",
+                     min_value=8000, max_value=48000, mostly=0.99)
+                .add("expect_column_values_to_be_unique", column="clip_id",
+                     mostly=0.99)
+                .add("expect_column_mean_to_be_between", column="dur_ms",
+                     min_value=0, max_value=10**9))
+
+    def test_one_scan_rollup_matches_direct(self, spark, clips, tmp_path):
+        store = str(tmp_path / "sp1")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=6)
+        out = cp.run_single_pass(clips)
+        assert out["groups_committed"] == 6
+        v = cp.verdicts(spark)
+        # map expectations: one row per group; unique + mean: one global row
+        per_type = {r["expectation_type"]: r["cnt"] for r in
+                    v.groupBy("expectation_type").count()
+                    .withColumnRenamed("count", "cnt").collect()}
+        assert per_type["expect_column_values_to_not_be_null"] == 6
+        assert per_type["expect_column_values_to_be_between"] == 6
+        assert per_type["expect_column_values_to_be_unique"] == 1
+        assert per_type["expect_column_mean_to_be_between"] == 1
+        roll = {r["expectation_type"]: r for r in cp.rollup(spark).collect()}
+        direct = validate(clips, self._suite())
+        for evr in direct.results:
+            et = evr.expectation_config.expectation_type
+            assert roll[et]["success"] == evr.success, et
+            if "unexpected_count" in evr.result:
+                assert roll[et]["unexpected_count"] == \
+                    evr.result["unexpected_count"], et
+
+    def test_single_pass_matches_per_group_run(self, spark, clips, tmp_path):
+        suite = (ExpectationSuite("cmp")
+                 .add("expect_column_values_to_not_be_null", column="clip_id")
+                 .add("expect_column_values_to_be_between", column="sr_hz",
+                      min_value=8000, max_value=48000))
+        a = Checkpoint(str(tmp_path / "a"), suite, group_key="clip_id", n_groups=5)
+        a.run(clips)
+        b = Checkpoint(str(tmp_path / "b"), suite, group_key="clip_id", n_groups=5)
+        b.run_single_pass(clips)
+        key = ["expectation_type", "domain"]
+        ra = {tuple(r[k] for k in key): (r["element_count"], r["unexpected_count"], r["success"])
+              for r in a.rollup(spark).collect()}
+        rb = {tuple(r[k] for k in key): (r["element_count"], r["unexpected_count"], r["success"])
+              for r in b.rollup(spark).collect()}
+        assert ra == rb
+        # same per-group counts too (groups use the same hash bucketing)
+        ga = {(r["group_id"], r["expectation_type"]): r["unexpected_count"]
+              for r in a.verdicts(spark).collect()}
+        gb = {(r["group_id"], r["expectation_type"]): r["unexpected_count"]
+              for r in b.verdicts(spark).collect()}
+        assert ga == gb
+
+    def test_idempotent_after_commit(self, spark, clips, tmp_path):
+        store = str(tmp_path / "sp2")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=4)
+        cp.run_single_pass(clips)
+        out2 = cp.run_single_pass(clips)
+        assert out2["groups_validated_this_run"] == 0
