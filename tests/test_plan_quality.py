@@ -130,3 +130,20 @@ def test_default_quantiles_use_bounded_sketch(spark, clips_path):
                      "interpolation": "linear"})
     item_l = next(iter(compile_suite([linear_cfg]).domains.values())).fused_items[0]
     assert "value" in item_l.slots and not item_l.info.get("use_approx_quantile")
+
+
+def test_winnow_scan_prunes_and_single_filescan(spark, tmp_path_factory):
+    """Winnowing must read only (id, text) and scan the corpus once (the
+    gram array is materialized behind a projection, not re-scanned)."""
+    path = str(tmp_path_factory.mktemp("winnow") / "docs")
+    spark.createDataFrame(
+        [(i, f"some document text number {i} with several words here",
+          "en", "web", 42) for i in range(200)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(path)
+    from sparkcheck.pipeline.text import winnow_fingerprints
+    fp = winnow_fingerprints(spark.read.parquet(path))
+    txt = _executed_plan(fp)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+    assert txt.count("FileScan parquet") == 1
