@@ -77,3 +77,46 @@ def pairwise_topk_per_cell(df: DataFrame, *, id_col: str = "vec_id",
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("id_a", "id_b", "sim", "rn"))
+
+
+def cell_centroids(df: DataFrame, *, vec_col: str = "embedding",
+                   cell_col: str = "label") -> DataFrame:
+    """Per-cell centroid = element-wise mean of the cell's vectors, computed
+    natively: explode to (cell, pos, value), average per (cell, pos), then
+    reassemble ordered arrays. One shuffle on (cell, pos) — mergeable and
+    skew-free (positions are uniform)."""
+    exploded = df.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    means = (exploded.groupBy("cell", "pos")
+             .agg(F.avg(F.col("v").cast("double")).alias("m")))
+    return (means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.expr("transform(pm, x -> x.m)").alias("centroid")))
+
+
+def ivf_topk_multiprobe(df: DataFrame, query: DataFrame, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        cell_col: str = "label", k: int = 5, nprobe: int = 2,
+                        centroids: DataFrame | None = None,
+                        round_digits: int = 6) -> DataFrame:
+    """Multi-probe IVF: rank cells by centroid cosine to the query and scan
+    the top `nprobe` cells — recovering neighbors that fall just outside the
+    query's own cell (the standard recall/cost dial of an IVF index).
+    `centroids` may be precomputed (at 100 TB it lives with the index;
+    recomputing it here is one extra aggregation). The probed-cell list is a
+    tiny broadcast, so the main scan stays partition-prunable by cell."""
+    cents = centroids if centroids is not None else cell_centroids(
+        df, vec_col=vec_col, cell_col=cell_col)
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    ranked = _with_cosine(cents.crossJoin(q), "centroid", "__qvec")
+    probed = F.broadcast(
+        ranked.orderBy(F.desc(F.round(F.col("cosine"), round_digits)),
+                       F.col("cell"))
+        .limit(nprobe).select("cell"))
+    probe = df.join(probed, on=df[cell_col] == probed["cell"], how="inner")
+    scored = _with_cosine(probe.crossJoin(q), vec_col, "__qvec")
+    scored = scored.withColumn("sim", F.round(F.col("cosine"), round_digits))
+    return (scored.select(id_col, "sim")
+            .orderBy(F.desc("sim"), F.col(id_col))
+            .limit(k))

@@ -138,3 +138,31 @@ class TestWinnowFingerprints:
         for r in winnow_fingerprints(df, k=8, window=4).collect():
             got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
         assert got["x"] & got["y"]
+
+
+class TestMultiProbeIVF:
+    def test_multiprobe_recall_at_least_single_probe(self, spark):
+        from sparkcheck.pipeline.similarity import (cosine_topk, ivf_topk,
+                                                    ivf_topk_multiprobe)
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") == 0)
+        exact = {r["vec_id"] for r in cosine_topk(e, q, k=5).collect()}
+        one = {r["vec_id"] for r in ivf_topk(e, q, k=5).collect()}
+        # probing every cell must recover the exact answer
+        n_cells = e.select("label").distinct().count()
+        allp = {r["vec_id"] for r in
+                ivf_topk_multiprobe(e, q, k=5, nprobe=n_cells).collect()}
+        assert allp == exact
+        multi = {r["vec_id"] for r in
+                 ivf_topk_multiprobe(e, q, k=5, nprobe=2).collect()}
+        assert len(multi & exact) >= len(one & exact)
+
+    def test_cell_centroids(self, spark):
+        from sparkcheck.pipeline.similarity import cell_centroids
+        df = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [0.0, 4.0])],
+            "label string, embedding array<double>")
+        got = {r["cell"]: r["centroid"] for r in
+               cell_centroids(df).collect()}
+        assert got["a"] == [2.0, 1.0]
+        assert got["b"] == [0.0, 4.0]
