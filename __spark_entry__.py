@@ -813,6 +813,41 @@ SELECT CAST(sum(c) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) distinct_hashes,
 """
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within hamming<=3 via the pigeonhole band
+    index (max_hamming+1 bands; a pair within distance d agrees exactly on
+    >=1 band) — candidates from same-band groupBy, verified by
+    bit_count(xor), never O(n^2). Output: hamming histogram of pairs."""
+    from sparkcheck.pipeline.dedup import simhash_near_dup_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return (pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("hamming").cast("int"), F.col("cnt").cast("bigint")))
+
+
+def _simhash_pairs_sql() -> str:
+    highs = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h,{j+1},1) IN {highs} THEN 1 ELSE -1 END) v{j}"
+        for j in range(16))
+    bits = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)"
+                      for j in range(16))
+    # oracle brute-forces ALL pairs (sf scale) — the Spark band index must
+    # recover exactly the same set (pigeonhole guarantees completeness)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
+h AS (SELECT doc_id, md5(t) h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
+s AS (SELECT doc_id, {bits} AS sh FROM v),
+p AS (SELECT bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 3)
+SELECT CAST(hamming AS INT) AS hamming, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1
+"""
+
+
+
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     from sparkcheck.pipeline.similarity import cosine_topk
@@ -1217,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk_bruteforce": q_sim_topk,
         "sim_ivf_label": q_sim_ivf,
         "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
@@ -1264,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "sim_topk_bruteforce": _SQL_SIM_TOPK,
         "sim_ivf_label": _SQL_SIM_IVF,
         "sim_ivf_multiprobe": _SQL_SIM_IVF_MULTIPROBE,

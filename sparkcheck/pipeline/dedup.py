@@ -206,3 +206,43 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming16(a, b):
     """Hamming distance between two 16-bit simhash columns (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate pairs by 16-bit SimHash within `max_hamming` bits.
+
+    Pigeonhole multi-index: split the 16-bit hash into max_hamming+1 bit
+    bands — any pair within hamming distance max_hamming agrees EXACTLY on
+    at least one band, so candidates are same-(band, band-value) pairs (one
+    groupBy-sized join key, never O(n^2)); candidates are then verified with
+    bit_count(xor). Pure Catalyst (shifts/masks), engine-portable.
+    Returns (id_a, id_b, hamming) distinct verified pairs."""
+    n_bands = max_hamming + 1
+    sigs = simhash16(df, id_col, text_col)
+    # band boundaries: split 16 bits as evenly as possible
+    sizes = [(16 // n_bands) + (1 if i < 16 % n_bands else 0)
+             for i in range(n_bands)]
+    bands = []
+    shift = 0
+    for i, width in enumerate(sizes):
+        mask = (1 << width) - 1
+        bands.append(F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
+            .alias("band_val")))
+        shift += width
+    banded = (sigs.select(id_col, "simhash",
+                          F.explode(F.array(*bands)).alias("b"))
+              .select(id_col, "simhash", "b.band_id", "b.band_val"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("h_a"), "band_id", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("h_b"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

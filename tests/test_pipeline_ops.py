@@ -166,3 +166,26 @@ class TestMultiProbeIVF:
                cell_centroids(df).collect()}
         assert got["a"] == [2.0, 1.0]
         assert got["b"] == [0.0, 4.0]
+
+
+class TestSimhashPairs:
+    def test_band_index_matches_bruteforce(self, spark):
+        """Pigeonhole completeness: the band index recovers exactly the
+        brute-force pair set at every max_hamming."""
+        import itertools
+        from sparkcheck.pipeline.dedup import (simhash16,
+                                               simhash_near_dup_pairs)
+        rows = [(f"d{i}", " ".join(
+            f"w{j}" if (i >> j) % 2 == 0 else f"x{j}" for j in range(10)))
+            for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        h = {r["doc_id"]: r["simhash"] for r in
+             simhash16(df, "doc_id", "text").collect()}
+        for mh in (0, 1, 2, 4):
+            got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+                   simhash_near_dup_pairs(df, "doc_id", "text",
+                                          max_hamming=mh).collect()}
+            brute = {(a, b, bin(h[a] ^ h[b]).count("1"))
+                     for a, b in itertools.combinations(sorted(h), 2)
+                     if bin(h[a] ^ h[b]).count("1") <= mh}
+            assert got == brute, mh
