@@ -848,6 +848,49 @@ FROM p GROUP BY 1
 
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events table (30-min gap): session
+    counts and size/duration stats per user-key windows — one shuffle on
+    user_id, no global ordering (SURVEY beyond-reference pipeline op)."""
+    from sparkcheck.pipeline.events import session_stats
+    e = _t(spark, sf_dir, "events")
+    st = session_stats(e, gap_minutes=30.0)
+    return st.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        F.round(F.avg("duration_sec"), 2).alias("avg_session_duration_sec"))
+
+
+_SQL_EVENTS_SESSIONS = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM x),
+g AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         epoch(max(ts)) - epoch(min(ts)) AS duration_sec
+  FROM s GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(avg(n_events), 4) AS avg_session_events,
+       round(avg(duration_sec), 2) AS avg_session_duration_sec
+FROM g
+"""
+
+
+
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     from sparkcheck.pipeline.similarity import cosine_topk
@@ -1253,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "events_sessions": q_events_sessions,
         "sim_topk_bruteforce": q_sim_topk,
         "sim_ivf_label": q_sim_ivf,
         "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
@@ -1301,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "events_sessions": _SQL_EVENTS_SESSIONS,
         "sim_topk_bruteforce": _SQL_SIM_TOPK,
         "sim_ivf_label": _SQL_SIM_IVF,
         "sim_ivf_multiprobe": _SQL_SIM_IVF_MULTIPROBE,

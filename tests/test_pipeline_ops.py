@@ -189,3 +189,38 @@ class TestSimhashPairs:
                      for a, b in itertools.combinations(sorted(h), 2)
                      if bin(h[a] ^ h[b]).count("1") <= mh}
             assert got == brute, mh
+
+
+class TestSessionization:
+    def test_gap_sessions_known_fixture(self, spark):
+        import datetime as dt
+        from sparkcheck.pipeline.events import session_stats, sessionize
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: 3 events close together, then a 2h gap, then 1 event
+            (1, base), (1, base + dt.timedelta(minutes=5)),
+            (1, base + dt.timedelta(minutes=20)),
+            (1, base + dt.timedelta(hours=2, minutes=20)),
+            # user 2: single event
+            (2, base),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        s = sessionize(df, gap_minutes=30.0)
+        got = {(r["user_id"], r["ts"].minute + 60 * r["ts"].hour): r["session_idx"]
+               for r in s.collect()}
+        assert got == {(1, 0): 0, (1, 5): 0, (1, 20): 0, (1, 140): 1, (2, 0): 0}
+        st = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+              for r in session_stats(df, gap_minutes=30.0).collect()}
+        assert st[(1, 0)] == (3, 20 * 60.0)
+        assert st[(1, 1)] == (1, 0.0)
+        assert st[(2, 0)] == (1, 0.0)
+
+    def test_boundary_is_strict_gt(self, spark):
+        import datetime as dt
+        from sparkcheck.pipeline.events import sessionize
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base), (1, base + dt.timedelta(minutes=30))],
+            "user_id bigint, ts timestamp")
+        s = sessionize(df, gap_minutes=30.0).collect()
+        assert {r["session_idx"] for r in s} == {0}  # exactly 30min: same session
