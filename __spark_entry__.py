@@ -891,6 +891,43 @@ FROM g
 
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition filters: per-doc unique-word ratio and
+    top-bigram share (sorted-run fold, linear map-side), aggregated."""
+    from sparkcheck.pipeline.text import repetition_features
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_features(d)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("unique_word_ratio"), 4).alias("avg_unique_word_ratio"),
+        F.round(F.avg("top_bigram_ratio"), 4).alias("avg_top_bigram_ratio"),
+        F.sum(F.when(F.col("unique_word_ratio") < 0.5, 1).otherwise(0))
+        .cast("bigint").alias("repetitive_docs"))
+
+
+_SQL_TEXT_REPETITION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+u AS (SELECT doc_id,
+             len(list_distinct(ws))::DOUBLE / len(ws) AS uw,
+             len(ws) AS n FROM w),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                                    i -> array_to_string(ws[i:i+1], ' '))) AS b
+       FROM w),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tb FROM cnt GROUP BY 1),
+j AS (SELECT u.doc_id, u.uw, top.tb
+      FROM u LEFT JOIN top ON u.doc_id = top.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(uw), 4) AS avg_unique_word_ratio,
+       round(avg(tb), 4) AS avg_top_bigram_ratio,
+       CAST(sum(CASE WHEN uw < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repetitive_docs
+FROM j
+"""
+
+
+
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector."""
     from sparkcheck.pipeline.similarity import cosine_topk
@@ -1297,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "events_sessions": q_events_sessions,
+        "text_repetition": q_text_repetition,
         "sim_topk_bruteforce": q_sim_topk,
         "sim_ivf_label": q_sim_ivf,
         "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
@@ -1346,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "events_sessions": _SQL_EVENTS_SESSIONS,
+        "text_repetition": _SQL_TEXT_REPETITION,
         "sim_topk_bruteforce": _SQL_SIM_TOPK,
         "sim_ivf_label": _SQL_SIM_IVF,
         "sim_ivf_multiprobe": _SQL_SIM_IVF_MULTIPROBE,

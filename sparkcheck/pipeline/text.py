@@ -158,3 +158,41 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     return (staged.select(F.col(id_col),
                           F.explode(F.array_distinct(out)).alias("fingerprint"))
             .distinct())
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals per doc, pure Catalyst:
+    - unique_word_ratio: |distinct words| / |words| (low => repetitive)
+    - top_bigram_ratio: occurrences of the most frequent word 2-gram /
+      total 2-grams (high => boilerplate loops)
+    Low-unique/high-top-bigram docs are the classic "repeated junk" filter
+    targets in web-corpus cleaning."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    uniq = F.size(F.array_distinct(words))
+    bigrams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2))) "
+        "ELSE array() END")
+    # mode count = longest equal run of the SORTED bigram array — one
+    # aggregate() fold, linear per doc and map-side (the filter-per-distinct
+    # alternative is O(distinct * n) per doc: quadratic on diverse docs)
+    run_state = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1)
+            ).alias("best")))
+    top_count = run_state["best"]
+    n_bigrams = F.size(bigrams)
+    return df.select(
+        F.col(id_col),
+        F.when(n_words > 0, uniq / n_words).alias("unique_word_ratio"),
+        F.when(n_bigrams > 0, top_count / n_bigrams).alias("top_bigram_ratio"))

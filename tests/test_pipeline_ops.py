@@ -224,3 +224,21 @@ class TestSessionization:
             "user_id bigint, ts timestamp")
         s = sessionize(df, gap_minutes=30.0).collect()
         assert {r["session_idx"] for r in s} == {0}  # exactly 30min: same session
+
+
+class TestRepetitionFeatures:
+    def test_known_values(self, spark):
+        from sparkcheck.pipeline.text import repetition_features
+        df = spark.createDataFrame(
+            [("a", "spam spam spam spam spam"),      # fully repetitive
+             ("b", "all words here are different ones"),
+             ("c", "x"),                              # no bigrams
+             ("d", "go stop go stop go")],            # alternating
+            "doc_id string, text string")
+        got = {r["doc_id"]: (r["unique_word_ratio"], r["top_bigram_ratio"])
+               for r in repetition_features(df).collect()}
+        assert got["a"] == (1 / 5, 1.0)   # 'spam spam' is every bigram
+        assert got["b"] == (1.0, 1 / 5)
+        assert got["c"] == (1.0, None)
+        # 'go stop' x2, 'stop go' x2 -> top 2 of 4
+        assert got["d"] == (2 / 5, 0.5)
