@@ -786,27 +786,39 @@ FROM pb
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash distribution stats."""
-    from sparkcheck.pipeline.dedup import simhash16
+    """64-bit SimHash distribution stats (signed-BIGINT bit pattern;
+    sparkcheck/pipeline/dedup.py:simhash64)."""
+    from sparkcheck.pipeline.dedup import simhash64
     d = _t(spark, sf_dir, "documents")
-    sh = simhash16(d, "doc_id", "text")
+    sh = simhash64(d, "doc_id", "text")
     g = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("c"))
     return g.agg(F.sum("c").cast("bigint").alias("n_docs"),
                  F.count(F.lit(1)).alias("distinct_hashes"),
                  F.max("c").alias("max_group"))
 
 
-def _simhash_sql() -> str:
-    highs = "('8','9','a','b','c','d','e','f')"
+def _simhash64_cte() -> str:
+    """Shared CTE prefix computing the 64-bit simhash per doc in DuckDB —
+    mirrors simhash64's bit scheme exactly: bit j = sign of votes from bit
+    (j%4) of hex nibble (j//4) of each token's md5; bit 63 contributes
+    LONG_MIN (two's-complement signed BIGINT, identical in both engines)."""
+    def bit_chars(bit):
+        return "(" + ",".join(f"'{v:x}'" for v in range(16) if v & (1 << bit)) + ")"
     votes = ", ".join(
-        f"sum(CASE WHEN substr(h,{j+1},1) IN {highs} THEN 1 ELSE -1 END) v{j}"
-        for j in range(16))
-    bits = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+        f"sum(CASE WHEN substr(h,{j // 4 + 1},1) IN {bit_chars(j % 4)} THEN 1 ELSE -1 END) v{j}"
+        for j in range(64))
+    bits = " + ".join(
+        ["(CASE WHEN v63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"] +
+        [f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(63)])
     return f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
 h AS (SELECT doc_id, md5(t) h FROM tok),
 v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
-s AS (SELECT doc_id, {bits} AS sh FROM v),
+s AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sh FROM v)"""
+
+
+def _simhash_sql() -> str:
+    return _simhash64_cte() + """,
 g AS (SELECT sh, count(*) c FROM s GROUP BY 1)
 SELECT CAST(sum(c) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) distinct_hashes,
        CAST(max(c) AS BIGINT) max_group FROM g
@@ -814,9 +826,10 @@ SELECT CAST(sum(c) AS BIGINT) n_docs, CAST(count(*) AS BIGINT) distinct_hashes,
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs within hamming<=3 via the pigeonhole band
-    index (max_hamming+1 bands; a pair within distance d agrees exactly on
-    >=1 band) — candidates from same-band groupBy, verified by
+    """64-bit SimHash near-dup pairs within hamming<=3 via the pigeonhole
+    band index (max_hamming+1 = 4 bands of 16 bits; a pair within distance d
+    agrees exactly on >=1 band) — candidates from same-band groupBy with
+    65,536 bucket values per band (bucket size O(n/2^16)), verified by
     bit_count(xor), never O(n^2). Output: hamming histogram of pairs."""
     from sparkcheck.pipeline.dedup import simhash_near_dup_pairs
     d = _t(spark, sf_dir, "documents")
@@ -826,26 +839,15 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def _simhash_pairs_sql() -> str:
-    highs = "('8','9','a','b','c','d','e','f')"
-    votes = ", ".join(
-        f"sum(CASE WHEN substr(h,{j+1},1) IN {highs} THEN 1 ELSE -1 END) v{j}"
-        for j in range(16))
-    bits = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)"
-                      for j in range(16))
     # oracle brute-forces ALL pairs (sf scale) — the Spark band index must
     # recover exactly the same set (pigeonhole guarantees completeness)
-    return f"""
-WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
-h AS (SELECT doc_id, md5(t) h FROM tok),
-v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
-s AS (SELECT doc_id, {bits} AS sh FROM v),
-p AS (SELECT bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS hamming
+    return _simhash64_cte() + """,
+p AS (SELECT bit_count(xor(a.sh, b.sh)) AS hamming
       FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 3)
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3)
 SELECT CAST(hamming AS INT) AS hamming, CAST(count(*) AS BIGINT) AS cnt
 FROM p GROUP BY 1
 """
-
 
 
 def q_events_sessions(spark, sf_dir):

@@ -182,11 +182,27 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 _HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
+# LONG_MIN written as arithmetic so the literal parses identically in Spark
+# and DuckDB (a bare -9223372036854775808 literal overflows to HUGEINT in
+# DuckDB's parser before negation).
+_LONG_MIN = -9223372036854775807 - 1
+
+
+def _hex_bit_chars(bit: int) -> list[str]:
+    """Hex characters whose 4-bit value has `bit` set (lowercase md5 digits)."""
+    return [format(v, "x") for v in range(16) if v & (1 << bit)]
+
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word tokens: bit j is the sign of the sum of
     (+1 / -1) votes from the j-th hex nibble's high bit of each token's md5.
-    Engine-portable (md5 + CASE only)."""
+    Engine-portable (md5 + CASE only).
+
+    .. deprecated:: prefer :func:`simhash64`. A 16-bit space holds only
+       65,536 hash values, so at web scale nearly every pair lands within a
+       small hamming distance and "near-duplicate" loses meaning; worse, the
+       pigeonhole bands over 16 bits have <=16 values each, making the
+       candidate join quadratic. Kept for the tiny-fixture oracle demo only."""
     tok = df.select(F.col(id_col),
                     F.explode(F.split(F.col(text_col), " ")).alias("t"))
     tok = tok.withColumn("h", F.md5(F.col("t")))
@@ -203,38 +219,100 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select(F.col(id_col), expr.cast("int").alias("simhash"))
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens, stored as a signed BIGINT bit
+    pattern (bit 63 is the sign bit — two's complement, identical in Spark
+    and DuckDB, verified by the oracle).
+
+    Bit j (0..63) is the sign of the sum over tokens of (+1/-1) votes from
+    bit (j % 4) of hex nibble (j // 4) of the token's md5 — i.e. the first
+    16 hex chars supply 64 independent hash bits. Pure Catalyst (md5 +
+    substring + CASE), engine-portable, one map-side-combinable groupBy.
+
+    Scale: 64 bits keep hamming distance meaningful on billions of docs
+    (16-bit saturates at 65k values), and 16-bit pigeonhole bands give 65,536
+    bucket values per band so the candidate join in
+    :func:`simhash_near_dup_pairs` stays O(n / 2^16) per bucket."""
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    tok = tok.withColumn("h", F.md5(F.col("t")))
+    votes = []
+    for j in range(64):
+        nib, bit = divmod(j, 4)
+        votes.append(
+            F.sum(F.when(F.substring(F.col("h"), nib + 1, 1)
+                         .isin(_hex_bit_chars(bit)), 1).otherwise(-1))
+            .alias(f"v{j}"))
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    # bit 63 contributes LONG_MIN (two's complement); bits 0..62 are 2^j
+    expr = F.when(F.col("v63") >= 0, F.lit(_LONG_MIN).cast("long")) \
+        .otherwise(F.lit(0).cast("long"))
+    for j in range(63):
+        expr = expr + F.when(F.col(f"v{j}") >= 0,
+                             F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), expr.cast("long").alias("simhash"))
+
+
 def hamming16(a, b):
-    """Hamming distance between two 16-bit simhash columns (bit_count of xor)."""
+    """Hamming distance between two simhash columns (bit_count of xor);
+    works for any integer width (16- or 64-bit)."""
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                           max_hamming: int = 2) -> DataFrame:
-    """Near-duplicate pairs by 16-bit SimHash within `max_hamming` bits.
-
-    Pigeonhole multi-index: split the 16-bit hash into max_hamming+1 bit
-    bands — any pair within hamming distance max_hamming agrees EXACTLY on
-    at least one band, so candidates are same-(band, band-value) pairs (one
-    groupBy-sized join key, never O(n^2)); candidates are then verified with
-    bit_count(xor). Pure Catalyst (shifts/masks), engine-portable.
-    Returns (id_a, id_b, hamming) distinct verified pairs."""
-    n_bands = max_hamming + 1
-    sigs = simhash16(df, id_col, text_col)
-    # band boundaries: split 16 bits as evenly as possible
-    sizes = [(16 // n_bands) + (1 if i < 16 % n_bands else 0)
+def simhash_bands(sigs: DataFrame, id_col: str, n_bands: int,
+                  total_bits: int = 64,
+                  hash_col: str = "simhash") -> DataFrame:
+    """Explode signatures into (id, simhash, band_id, band_val) pigeonhole
+    bands: `total_bits` split into `n_bands` contiguous bands as evenly as
+    possible. Any pair within hamming distance n_bands-1 agrees exactly on
+    at least one band. Exposed separately so tests can audit per-band bucket
+    cardinality (the scale invariant: bucket size ~ n / 2^band_bits)."""
+    sizes = [(total_bits // n_bands) + (1 if i < total_bits % n_bands else 0)
              for i in range(n_bands)]
     bands = []
     shift = 0
     for i, width in enumerate(sizes):
         mask = (1 << width) - 1
+        if mask >= 1 << 63:  # width 64: all-ones mask is -1 as a signed long
+            mask -= 1 << 64
+        # arithmetic shiftright sign-extends for bit-63 bands, but the mask
+        # keeps only the low `width` bits — same result as a logical shift
         bands.append(F.struct(
             F.lit(i).alias("band_id"),
-            F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
-            .alias("band_val")))
+            F.shiftright(F.col(hash_col), shift).bitwiseAND(F.lit(mask))
+            .cast("long").alias("band_val")))
         shift += width
-    banded = (sigs.select(id_col, "simhash",
-                          F.explode(F.array(*bands)).alias("b"))
-              .select(id_col, "simhash", "b.band_id", "b.band_val"))
+    return (sigs.select(id_col, hash_col,
+                        F.explode(F.array(*bands)).alias("b"))
+            .select(id_col, hash_col, "b.band_id", "b.band_val"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3,
+                           hash_bits: int = 64) -> DataFrame:
+    """Near-duplicate pairs by SimHash within `max_hamming` bits
+    (default: 64-bit hash).
+
+    Pigeonhole multi-index: split the hash into max_hamming+1 bit bands —
+    any pair within hamming distance max_hamming agrees EXACTLY on at least
+    one band, so candidates are same-(band, band-value) pairs (one
+    groupBy-sized join key); candidates are then verified with
+    bit_count(xor). Pure Catalyst (shifts/masks), engine-portable.
+
+    With hash_bits=64 and max_hamming=3 each band is 16 bits → 65,536
+    distinct bucket values per band, so same-bucket candidate groups stay
+    O(n/2^16) and the join is sub-quadratic at any corpus size.
+    hash_bits=16 (deprecated) keeps the old demo behavior, whose ≤16-value
+    bands ARE quadratic — see :func:`simhash16`.
+    Returns (id_a, id_b, hamming) distinct verified pairs."""
+    n_bands = max_hamming + 1
+    if hash_bits == 64:
+        sigs = simhash64(df, id_col, text_col)
+    elif hash_bits == 16:
+        sigs = simhash16(df, id_col, text_col)
+    else:
+        raise ValueError(f"hash_bits must be 16 or 64, got {hash_bits}")
+    banded = simhash_bands(sigs, id_col, n_bands, total_bits=hash_bits)
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("h_a"), "band_id", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"),

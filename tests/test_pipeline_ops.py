@@ -169,26 +169,73 @@ class TestMultiProbeIVF:
 
 
 class TestSimhashPairs:
-    def test_band_index_matches_bruteforce(self, spark):
+    @staticmethod
+    def _ham(x, y, bits):
+        mask = (1 << bits) - 1
+        return bin((x ^ y) & mask).count("1")
+
+    @pytest.mark.parametrize("hash_bits", [16, 64])
+    def test_band_index_matches_bruteforce(self, spark, hash_bits):
         """Pigeonhole completeness: the band index recovers exactly the
-        brute-force pair set at every max_hamming."""
+        brute-force pair set at every max_hamming, for both hash widths."""
         import itertools
-        from sparkcheck.pipeline.dedup import (simhash16,
+        from sparkcheck.pipeline.dedup import (simhash16, simhash64,
                                                simhash_near_dup_pairs)
+        hasher = simhash16 if hash_bits == 16 else simhash64
         rows = [(f"d{i}", " ".join(
             f"w{j}" if (i >> j) % 2 == 0 else f"x{j}" for j in range(10)))
             for i in range(40)]
         df = spark.createDataFrame(rows, "doc_id string, text string")
         h = {r["doc_id"]: r["simhash"] for r in
-             simhash16(df, "doc_id", "text").collect()}
+             hasher(df, "doc_id", "text").collect()}
         for mh in (0, 1, 2, 4):
             got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
                    simhash_near_dup_pairs(df, "doc_id", "text",
-                                          max_hamming=mh).collect()}
-            brute = {(a, b, bin(h[a] ^ h[b]).count("1"))
+                                          max_hamming=mh,
+                                          hash_bits=hash_bits).collect()}
+            brute = {(a, b, self._ham(h[a], h[b], hash_bits))
                      for a, b in itertools.combinations(sorted(h), 2)
-                     if bin(h[a] ^ h[b]).count("1") <= mh}
-            assert got == brute, mh
+                     if self._ham(h[a], h[b], hash_bits) <= mh}
+            assert got == brute, (hash_bits, mh)
+
+    def test_simhash64_similar_docs_close(self, spark):
+        from sparkcheck.pipeline.dedup import simhash64
+        df = spark.createDataFrame(
+            [("a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+             ("b", "w1 w2 w3 w4 w5 w6 w7 changed"),
+             ("c", "completely different words here now ok fine yes")],
+            "doc_id string, text string")
+        h = {r["doc_id"]: r["simhash"] for r in
+             simhash64(df, "doc_id", "text").collect()}
+        assert self._ham(h["a"], h["b"], 64) < self._ham(h["a"], h["c"], 64)
+
+    def test_64bit_band_buckets_stay_small(self, spark):
+        """The scale invariant the 64-bit width buys (VERDICT r2 #1): with
+        16-bit bands, same-(band, band_val) bucket sizes stay O(n/2^16) on a
+        10x fixture of independent docs — so the candidate join is
+        groupBy-sized, never quadratic. (The deprecated 16-bit hash has <=16
+        values per band: every bucket would hold ~n/16 of the corpus.)"""
+        import random
+        from pyspark.sql import functions as F
+        from sparkcheck.pipeline.dedup import simhash64, simhash_bands
+        rng = random.Random(0)
+        n = 400
+        rows = [(f"d{i}", " ".join(
+            f"tok{rng.randrange(10_000)}" for _ in range(30)))
+            for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        sigs = simhash64(df, "doc_id", "text")
+        banded = simhash_bands(sigs, "doc_id", n_bands=4, total_bits=64)
+        per_bucket = (banded.groupBy("band_id", "band_val")
+                      .agg(F.count(F.lit(1)).alias("c")))
+        mx = per_bucket.agg(F.max("c").alias("m")).first()["m"]
+        pairs = per_bucket.agg(
+            F.sum(F.expr("c * (c - 1) / 2")).cast("bigint").alias("p")
+        ).first()["p"]
+        # independent docs over 65,536 bucket values: collisions are rare
+        assert mx <= 8, mx
+        # candidate pairs are a vanishing fraction of n*(n-1)/2 = 79,800
+        assert pairs <= n, pairs
 
 
 class TestSessionization:
