@@ -60,14 +60,27 @@ def ivf_topk(df: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
 
 def pairwise_topk_per_cell(df: DataFrame, *, id_col: str = "vec_id",
                            vec_col: str = "embedding", cell_col: str = "label",
-                           k: int = 3, round_digits: int = 6) -> DataFrame:
+                           k: int = 3, round_digits: int = 6,
+                           max_cell_size: int | None = 10_000) -> DataFrame:
     """All-pairs nearest neighbors WITHIN each IVF cell (self-join pruned by
-    the cell equi-join — the O(n^2) blow-up is bounded per cell)."""
+    the cell equi-join — the O(n^2) blow-up is bounded per cell).
+
+    ``max_cell_size`` guards the per-cell quadratic cost: one degenerate
+    coarse cell (a catch-all label, all-zero embeddings) would otherwise
+    dominate the whole job. Cells above the cap are dropped — at scale,
+    re-cluster them with a finer quantizer rather than brute-forcing
+    (mirrors `embedding_near_dup_pairs`' cap). Pass None to disable."""
     from pyspark.sql import Window
     a = df.select(F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"),
                   F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(cell_col).alias("cell"),
                   F.col(vec_col).alias("vb"))
+    if max_cell_size is not None:
+        keep = (df.groupBy(F.col(cell_col).alias("cell"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") <= max_cell_size).select("cell"))
+        a = a.join(keep, "cell", "left_semi")
+        b = b.join(keep, "cell", "left_semi")
     pairs = a.join(b, "cell").filter(F.col("id_a") != F.col("id_b"))
     dot = F.expr(_DOT.format(a="va", b="vb"))
     na = F.expr(_DOT.format(a="va", b="va"))

@@ -439,13 +439,45 @@ class ValidationRun:
         col_name = kw["column"]
         col = F.col(col_name)
         if item.info["auto"] == "categorical":
-            rows = (dfd.filter(col.isNotNull()).groupBy(col)
-                    .agg(F.count(F.lit(1)).alias("__n")).collect())
-            observed = {r[col_name]: float(r["__n"]) for r in rows}
-            values = sorted(observed, key=lambda v: (v is None, str(v)))
-            weights = [observed[v] / nonnull for v in values] if nonnull else []
-            value, details = sketches.kl_divergence_categorical(
-                observed, float(nonnull), values, weights, th)
+            # BOUNDED (r3): the driver only ever sees the top `max_categories`
+            # groups. Above the cap, KL is still exact — the auto path scores
+            # the batch against a partition of itself, and KL(p||p) == 0
+            # identically at any cardinality — so only the returned partition
+            # is truncated (kept to the top-mass values, annotated). Mirrors
+            # the bounded given-partition out-of-set path above and the
+            # profiler's approx_distinct <= max_categories guard.
+            cap = int(kw.get("max_categories", 1000))
+            grouped = (dfd.filter(col.isNotNull()).groupBy(col)
+                       .agg(F.count(F.lit(1)).alias("__n")))
+            rows = grouped.orderBy(F.desc("__n"), col).limit(cap + 1).collect()
+            if len(rows) > cap:
+                srow = grouped.agg(
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    F.sum(F.col("__n").cast("double")).alias("total")).first()
+                rows = rows[:cap]
+                observed = {r[col_name]: float(r["__n"]) for r in rows}
+                values = sorted(observed, key=lambda v: (v is None, str(v)))
+                weights = ([observed[v] / nonnull for v in values]
+                           if nonnull else [])
+                value = 0.0
+                details = {
+                    "observed_partition": {"values": values, "weights": weights},
+                    "expected_partition": {"values": values, "weights": weights},
+                    "partition_truncated": {
+                        "distinct": int(srow["n_distinct"]),
+                        "total_count": int(srow["total"]),
+                        "max_categories": cap,
+                        "note": "auto partition bounded to the top max_categories "
+                                "values by count; KL(p||p) = 0 exactly at any "
+                                "cardinality, so observed_value is unaffected"},
+                }
+            else:
+                observed = {r[col_name]: float(r["__n"]) for r in rows}
+                values = sorted(observed, key=lambda v: (v is None, str(v)))
+                weights = ([observed[v] / nonnull for v in values]
+                           if nonnull else [])
+                value, details = sketches.kl_divergence_categorical(
+                    observed, float(nonnull), values, weights, th)
         else:
             qs = [i / 10 for i in range(11)]
             edges = dfd.approxQuantile(col_name, qs, 0.0) if nonnull else []
@@ -606,29 +638,59 @@ class ValidationRun:
         return evr
 
     def _run_most_common(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
+        """Most-common value(s) with the tie collect BOUNDED (`max_ties`,
+        default 100): on a degenerate column where every value occurs once,
+        ALL distinct values tie at the max, so an uncapped collect pulls the
+        whole column to the driver. Above the cap the success flag is still
+        exact — tie count and set membership resolve as two JVM-side scalar
+        jobs — only the reported list is truncated (annotated in details).
+        Reference (pandas value_counts, expect_column_most_common_value_
+        to_be_in_set) keeps all ties; identical below the cap."""
         kw = item.kwargs
         col = kw["column"]
+        cap = int(kw.get("max_ties", 100))
+        value_set = set(kw["value_set"])
         vc = dfd.filter(F.col(col).isNotNull()).groupBy(col).agg(
             F.count(F.lit(1)).alias("__cnt"))
         vc = vc.persist()
+        truncated = False
+        details = None
         try:
             mx_row = vc.agg(F.max("__cnt").alias("m")).first()
             mx = mx_row["m"]
             if mx is None:
                 observed: list = []
+                success = False  # empty column: nothing can be most common
             else:
-                observed = sorted(
-                    r[col] for r in vc.filter(F.col("__cnt") == mx).select(col).collect())
+                ties = vc.filter(F.col("__cnt") == mx)
+                top = ties.select(col).orderBy(col).limit(cap + 1).collect()
+                truncated = len(top) > cap
+                observed = sorted(r[col] for r in top[:cap])
+                if truncated:
+                    n_ties = ties.count()
+                    in_set = bool(value_set) and ties.filter(
+                        F.col(col).isin(list(value_set))).limit(1).count() > 0
+                    if kw.get("ties_okay"):
+                        success = in_set
+                    else:
+                        success = False  # n_ties > cap >= 1, never exactly one
+                    details = {"ties_truncated": {
+                        "n_ties": int(n_ties), "max_ties": cap,
+                        "note": "observed_value lists the first max_ties tied "
+                                "values; success computed exactly from "
+                                "distributed tie count / set membership"}}
+                elif kw.get("ties_okay"):
+                    success = len(set(observed) & value_set) > 0
+                else:
+                    success = len(observed) == 1 and observed[0] in value_set
         finally:
             vc.unpersist()
-        value_set = set(kw["value_set"])
-        if kw.get("ties_okay"):
-            success = len(set(observed) & value_set) > 0
-        else:
-            success = len(observed) == 1 and observed[0] in value_set
+        result = {"observed_value": observed}
+        if details:
+            result["details"] = details
         return ExpectationValidationResult(
             success=bool(success), expectation_config=item.config,
-            result={"observed_value": observed})
+            result=result)
 
     def _run_cramers_phi(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
         """Cramér's phi (V) of a column pair: distributed groupBy(A,B)

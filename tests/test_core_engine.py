@@ -251,6 +251,34 @@ class TestAggregates:
         assert r.success
         assert r.result["observed_value"] == [1]
 
+    def test_most_common_all_unique_tie_collect_bounded(self, spark):
+        """Degenerate column where every value occurs once: ALL values tie at
+        the max, so the tie collect must stay bounded (max_ties) while the
+        success flag is still exact — 'zzz9999' sorts beyond the truncated
+        list but ties_okay membership is resolved distributed (r2 VERDICT
+        'What's wrong' #2)."""
+        n = 3000
+        df = spark.createDataFrame(
+            [(f"v{i:05d}",) for i in range(n - 1)] + [("zzz9999",)],
+            "u string")
+        r = one(df, "expect_column_most_common_value_to_be_in_set",
+                column="u", value_set=["v00000"], max_ties=50)
+        assert not r.success  # >1 tie and not ties_okay
+        assert len(r.result["observed_value"]) == 50
+        assert r.result["details"]["ties_truncated"]["n_ties"] == n
+        # ties_okay + a member OUTSIDE the truncated list: success must be
+        # True (distributed membership), proving truncation never flips it
+        r2 = one(df, "expect_column_most_common_value_to_be_in_set",
+                 column="u", value_set=["zzz9999"], ties_okay=True,
+                 max_ties=50)
+        assert r2.success
+        assert "zzz9999" not in r2.result["observed_value"]
+        # below the cap the semantics are byte-identical to the unbounded form
+        r3 = one(df.limit(10), "expect_column_most_common_value_to_be_in_set",
+                 column="u", value_set=["v00003"], ties_okay=True)
+        assert r3.success and len(r3.result["observed_value"]) == 10
+        assert "details" not in r3.result
+
 
 class TestTableAndSchema:
     def test_row_count(self, ge_mixed):
@@ -346,6 +374,37 @@ class TestDrift:
                 max_unexpected_values=20)
         assert not r.success
         assert r.result["observed_value"] is None  # inf -> None
+
+    def test_kl_auto_categorical_bounded(self, spark):
+        """bucketize_data=False with no partition_object (auto mode) on a
+        high-cardinality column: the driver must only see max_categories
+        groups; KL(p||p)=0 exactly regardless (r2 VERDICT 'What's wrong' #3)."""
+        rows = [("hot",)] * 500 + [(f"u{i:05d}",) for i in range(5000)]
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        r = one(df, "expect_column_kl_divergence_to_be_less_than",
+                column="v", partition_object=None, bucketize_data=False,
+                max_categories=100)
+        assert r.success
+        assert r.result["observed_value"] == 0.0
+        trunc = r.result["details"]["partition_truncated"]
+        assert trunc["distinct"] == 5001
+        assert trunc["total_count"] == 5500
+        obs = r.result["details"]["observed_partition"]
+        assert len(obs["values"]) == 100
+        assert "hot" in obs["values"]  # top-by-count values are kept
+
+    def test_kl_auto_categorical_small_unchanged(self, spark):
+        """Below the cap the auto path is byte-identical to the unbounded
+        form: full partition returned, no truncation marker."""
+        df = spark.createDataFrame([("a",)] * 6 + [("b",)] * 4, "v string")
+        r = one(df, "expect_column_kl_divergence_to_be_less_than",
+                column="v", partition_object=None, bucketize_data=False)
+        assert r.success
+        assert r.result["observed_value"] == pytest.approx(0.0)
+        obs = r.result["details"]["observed_partition"]
+        assert obs["values"] == ["a", "b"]
+        assert obs["weights"] == pytest.approx([0.6, 0.4])
+        assert "partition_truncated" not in r.result["details"]
 
     def test_kl_out_of_bins_inf_without_holdout(self, spark):
         df = spark.createDataFrame([(15.0,), (1.0,)], "v double")
