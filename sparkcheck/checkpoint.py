@@ -310,10 +310,31 @@ class Checkpoint:
         epoch = manifest["epoch"] + 1
         t0 = time.time()
         if all(str(g) in committed for g in range(self.n_groups)):
+            # fully committed (either mode): no-op — nothing will be written,
+            # so no double-count is possible
             return {"epoch": manifest["epoch"], "groups_total": self.n_groups,
                     "groups_validated_this_run": 0,
                     "groups_committed": len(committed),
                     "wall_sec": time.time() - t0}
+        # Guard against mixing commit styles: a partially-committed run()
+        # (crash, then retry with single-pass) leaves per-group parquet files
+        # that verdicts()/rollup() would read ALONGSIDE single-pass.parquet,
+        # double-counting the committed groups' element/unexpected counts and
+        # potentially flipping mostly-based global verdicts. Detect BOTH the
+        # manifest state and stray group files on disk (a kill between the
+        # group write and its manifest commit leaves an orphan file too).
+        vdir = os.path.join(self.store_path, "verdicts")
+        stray = (sorted(f for f in os.listdir(vdir)
+                        if f.startswith("group-") and f.endswith(".parquet"))
+                 if os.path.isdir(vdir) else [])
+        if (committed and not manifest.get("single_pass")) or stray:
+            raise ValueError(
+                f"verdict store at {self.store_path} holds per-group commits "
+                f"({len(committed)} committed group(s), "
+                f"{len(stray)} group file(s) on disk): resuming it with "
+                "run_single_pass would double-count those groups in "
+                "verdicts()/rollup(). Resume with run() to finish the "
+                "remaining groups, or point at a fresh store_path.")
 
         key = F.coalesce(F.col(self.group_key).cast("string"), F.lit("\x00null"))
         bucket = F.pmod(F.abs(F.xxhash64(key)), F.lit(self.n_groups))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import ast
 import datetime
 import math
+import re
 from typing import Any
 
 _FUNCS: dict[str, Any] = {
@@ -54,6 +55,12 @@ _BINOPS = {
     ast.Mult: _guarded_mult,
     ast.Div: lambda a, b: a / b,
     ast.Pow: _guarded_pow,
+    # the reference's grammar spells exponentiation '^' (core/
+    # evaluation_parameters.py: expop = Literal("^")); Python parses that
+    # as BitXor, so map it to the same guarded pow. (Known divergence:
+    # Python's ^ is left-associative while the reference's ^ is
+    # right-associative — only chains like 2^3^2 differ; use parentheses.)
+    ast.BitXor: _guarded_pow,
     ast.Mod: lambda a, b: a % b,
 }
 
@@ -90,14 +97,105 @@ def _ev(node: ast.AST, params: dict) -> Any:
     raise ParameterExpressionError(f"node not allowed: {type(node).__name__}")
 
 
+# ------------------------------------------------------------------ URNs
+#
+# The reference resolves `urn:great_expectations:...` identifiers inside
+# $PARAMETER expressions (core/urn.py grammar; core/evaluation_parameters.py
+# :105-110 embeds them as idents, :343-369 looks a lone URN up in the
+# supplied evaluation_parameters dict — the data context pre-populates those
+# keys from dependent validation results). Here the committed verdict store
+# plays the data-context role: `parameters_from_verdicts` keys are the
+# lookup table, and this shim translates a validations URN into those keys
+# so an imported GE suite JSON runs unmodified.
+
+_URN_RE = re.compile(r"urn:great_expectations:[A-Za-z][A-Za-z0-9_$?=%.&:,]*")
+
+
+def parse_ge_urn(urn: str) -> dict:
+    """Parse a GE URN into its named parts (reference core/urn.py grammar:
+    metrics → run_id:suite:metric[:kwargs]; validations → suite:metric
+    [:kwargs]; stores → store:metric[:kwargs])."""
+    prefix = "urn:great_expectations:"
+    if not urn.startswith(prefix):
+        raise ParameterExpressionError(f"not a GE urn: {urn}")
+    parts = urn[len(prefix):].split(":")
+    urn_type = parts[0]
+    fields = {"urn_type": urn_type}
+    if urn_type == "validations" and len(parts) in (3, 4):
+        fields["expectation_suite_name"], fields["metric_name"] = parts[1], parts[2]
+        kwargs_part = parts[3] if len(parts) == 4 else None
+    elif urn_type == "metrics" and len(parts) in (4, 5):
+        fields["run_id"], fields["expectation_suite_name"] = parts[1], parts[2]
+        fields["metric_name"] = parts[3]
+        kwargs_part = parts[4] if len(parts) == 5 else None
+    elif urn_type == "stores" and len(parts) in (3, 4):
+        fields["store_name"], fields["metric_name"] = parts[1], parts[2]
+        kwargs_part = parts[3] if len(parts) == 4 else None
+    else:
+        raise ParameterExpressionError(f"unrecognized GE urn shape: {urn}")
+    if kwargs_part:
+        fields["metric_kwargs"] = dict(
+            kv.split("=", 1) for kv in kwargs_part.split("&") if "=" in kv)
+    return fields
+
+
+def resolve_urn(urn: str, params: dict) -> Any:
+    """Resolve a GE URN against an evaluation-parameter dict.
+
+    Order: (1) the raw URN as a literal key (reference behavior — the
+    context injects URN-keyed values); (2) for validations URNs, translate
+    `<etype>.result.<field>` + `column=<c>` kwargs into the
+    `parameters_from_verdicts` key space (`<etype>:<domain>:<field>`, plus
+    `table.row_count` for row-count observed_value). Raises KeyError when
+    nothing matches — the caller converts that into an unresolved-parameter
+    exception EVR, matching the reference's EvaluationParameterError."""
+    if urn in params:
+        return params[urn]
+    f = parse_ge_urn(urn)
+    if f["urn_type"] != "validations":
+        raise KeyError(urn)
+    metric = f.get("metric_name", "")
+    if ".result." not in metric:
+        raise KeyError(urn)
+    etype, field = metric.split(".result.", 1)
+    domain = f.get("metric_kwargs", {}).get("column", "")
+    for key in (f"{etype}:{domain}:{field}",):
+        if key in params:
+            return params[key]
+    if field == "observed_value":
+        if etype.startswith("expect_table_row_count") and "table.row_count" in params:
+            return params["table.row_count"]
+        # row-count family aside, observed_value of a map expectation is its
+        # element/unexpected decomposition in the verdict store
+        key = f"{etype}:{domain}:element_count"
+        if key in params:
+            return params[key]
+    raise KeyError(urn)
+
+
 def evaluate_parameter_expression(expression: str, params: dict | None = None) -> Any:
     """Evaluate a `$PARAMETER` expression string.
 
+    GE URN identifiers (colons make them unparseable as Python) are
+    resolved first — a lone URN returns its value directly (any type,
+    matching the reference's single-identifier special case); URNs embedded
+    in arithmetic are substituted as bound placeholder names.
+
     Raises KeyError when the expression is (or references) an unsupplied
-    plain name — the caller treats that as an unresolved parameter — and
-    ParameterExpressionError for anything outside the grammar."""
+    plain name or URN — the caller treats that as an unresolved parameter —
+    and ParameterExpressionError for anything outside the grammar."""
+    params = dict(params or {})
+    if expression.strip().startswith("urn:great_expectations:"):
+        stripped = expression.strip()
+        if _URN_RE.fullmatch(stripped):
+            return resolve_urn(stripped, params)
+    urns = _URN_RE.findall(expression)
+    for i, urn in enumerate(dict.fromkeys(urns)):  # dedupe, keep order
+        name = f"__urn_{i}"
+        params[name] = resolve_urn(urn, params)
+        expression = expression.replace(urn, name)
     try:
         tree = ast.parse(expression, mode="eval")
     except SyntaxError as exc:
         raise ParameterExpressionError(f"unparseable expression: {expression}") from exc
-    return _ev(tree, params or {})
+    return _ev(tree, params)

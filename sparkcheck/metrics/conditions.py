@@ -71,10 +71,38 @@ def _parse_dt_bounds(kwargs: dict) -> dict:
     return out
 
 
+# Column-side datetime parse formats for parse_strings_as_datetimes: ISO
+# first (bare try_to_timestamp), then the common non-ISO shapes dateutil
+# accepts. The reference parses EVERY row with dateutil (unbounded format
+# space, per-row Python); we cover ISO + these JVM-side patterns and any
+# string outside them parses to null → unexpected. Constraint documented
+# here by design — a full dateutil emulation would put a Python UDF in the
+# hot path.
+_DT_FALLBACK_FORMATS = ("M/d/yyyy H:m:s", "M/d/yyyy", "M-d-yyyy H:m:s",
+                        "M-d-yyyy", "yyyy/M/d", "yyyyMMdd")
+
+
+def _dt_parsed_col(col: Column) -> Column:
+    return F.coalesce(
+        F.try_to_timestamp(col),
+        *[F.try_to_timestamp(col, F.lit(f)) for f in _DT_FALLBACK_FORMATS])
+
+
 def between(kwargs: dict) -> Column:
     # column_values_between.py:222 — chained comparisons per strict flags
     if kwargs.get("parse_strings_as_datetimes"):
+        import datetime as _dt
         kwargs = _parse_dt_bounds(kwargs)
+        if any(isinstance(kwargs.get(k), (_dt.datetime, _dt.date))
+               for k in ("min_value", "max_value")):
+            # parse the COLUMN side too (ADVICE r2): with datetime bounds,
+            # a non-ISO string value like '01/02/2018' would implicitly
+            # cast to null and count as unexpected, diverging from the
+            # reference's dateutil-parses-both semantics. A string NO format
+            # parses (dateutil would raise there) is unexpected, not null —
+            # hence the coalesce(False).
+            return F.coalesce(
+                _bound_chain(_dt_parsed_col(_c(kwargs)), kwargs), F.lit(False))
     return _bound_chain(_c(kwargs), kwargs)
 
 

@@ -658,3 +658,78 @@ class TestSinglePassCheckpoint:
         cp.run_single_pass(clips)
         out2 = cp.run_single_pass(clips)
         assert out2["groups_validated_this_run"] == 0
+
+    def test_refuses_store_with_partial_per_group_commits(self, spark, clips, tmp_path):
+        """Crash a per-group run(), then retry with run_single_pass: the
+        store holds committed group files that verdicts()/rollup() would
+        read ALONGSIDE single-pass.parquet, double-counting those groups —
+        the single-pass entry must refuse (ADVICE r2, checkpoint.py)."""
+        import pytest
+        store = str(tmp_path / "mixed")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=4)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            cp.run(clips, fail_after_groups=2)
+        cp2 = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=4)
+        with pytest.raises(ValueError, match="double-count"):
+            cp2.run_single_pass(clips)
+        # the prescribed recovery — resume with run() — still works and
+        # yields exactly one verdict row set (no dups)
+        out = cp2.run(clips)
+        assert out["groups_committed"] == 4
+        v = cp2.verdicts(spark)
+        assert v.groupBy("group_id", "config_id").count() \
+            .filter("count > 1").count() == 0
+
+    def test_fully_committed_per_group_store_is_noop(self, spark, clips, tmp_path):
+        """A store fully committed by run() stays a harmless no-op under
+        run_single_pass (nothing is written, so nothing double-counts)."""
+        store = str(tmp_path / "full")
+        cp = Checkpoint(store, self._suite(), group_key="clip_id", n_groups=3)
+        cp.run(clips)
+        before = cp.verdicts(spark).count()
+        out = cp.run_single_pass(clips)
+        assert out["groups_validated_this_run"] == 0
+        assert cp.verdicts(spark).count() == before
+
+
+class TestUrnParameters:
+    def test_ge_suite_json_with_urn_runs_against_verdict_store(self, spark, tmp_path):
+        """Drop-in GE suite compatibility (VERDICT r2 'What's missing' #2):
+        a suite JSON whose $PARAMETER is a literal
+        urn:great_expectations:validations:... string validates end-to-end
+        against a committed verdict store."""
+        import json
+        from sparkcheck.checkpoint import parameters_from_verdicts
+        from sparkcheck.types import ExpectationSuite as ES
+        clips = generate_audio_clips(spark, 3000, with_bytes=False,
+                                     num_partitions=2)
+        day1 = ES("day1").add(
+            "expect_column_values_to_not_be_null", column="clip_id",
+            mostly=0.9)
+        store = str(tmp_path / "day1")
+        Checkpoint(store, day1, group_key="clip_id", n_groups=2).run(clips)
+        params = parameters_from_verdicts(spark, store)
+
+        # a GE-style suite JSON as exported by the reference, URN included
+        suite_json = json.dumps({
+            "expectation_suite_name": "day2",
+            "expectations": [
+                {"expectation_type": "expect_table_row_count_to_equal",
+                 "kwargs": {"value": {
+                     "$PARAMETER":
+                         "urn:great_expectations:validations:day1:"
+                         "expect_table_row_count_to_equal.result"
+                         ".observed_value"}}},
+                {"expectation_type": "expect_table_row_count_to_be_between",
+                 "kwargs": {"max_value": {
+                     "$PARAMETER":
+                         "urn:great_expectations:validations:day1:"
+                         "expect_column_values_to_not_be_null.result"
+                         ".element_count:column=clip_id"}}},
+            ]})
+        s2 = ES.from_json(suite_json)
+        res = validate(clips, s2, evaluation_parameters=params)
+        assert res.success
+        # and the same URN suite fails when the table shrinks
+        assert not validate(clips.limit(2000), s2,
+                            evaluation_parameters=params).results[0].success

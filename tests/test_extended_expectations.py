@@ -322,3 +322,71 @@ def test_parameter_expression_resource_guards():
         with _pytest.raises(ParameterExpressionError):
             evaluate_parameter_expression(bad)
     assert evaluate_parameter_expression("2 ** 10") == 1024
+
+
+def test_between_parses_non_iso_datetime_strings_column_side(spark):
+    """parse_strings_as_datetimes must parse the COLUMN values too, not just
+    the bounds (reference column_values_between.py dateutil-parses-both):
+    '01/02/2018' implicitly casts to null in Spark, so without the column-
+    side parse it would wrongly count as unexpected (ADVICE r2)."""
+    from sparkcheck import ExpectationSuite, validate
+    df = spark.createDataFrame(
+        [("2018-01-02",), ("01/02/2018",), ("2018/01/02",), ("20180102",),
+         ("12/31/2030",), ("not a date",)], "d string")
+    suite = ExpectationSuite("dt").add(
+        "expect_column_values_to_be_between", column="d",
+        min_value="2018-01-01", max_value="2018-12-31",
+        parse_strings_as_datetimes=True)
+    r = validate(df, suite).results[0]
+    # the four 2018 spellings are in range; out-of-range + unparseable fail
+    assert r.result["unexpected_count"] == 2
+    assert set(r.result["partial_unexpected_list"]) == {"12/31/2030",
+                                                        "not a date"}
+
+
+def test_parameter_caret_is_exponentiation():
+    """The reference grammar spells exponentiation '^' (core/
+    evaluation_parameters.py: expop = Literal('^')); reference-authored
+    expressions like 'trunc(v ^ 2)' must evaluate, not raise."""
+    from sparkcheck.eval_params import (ParameterExpressionError,
+                                        evaluate_parameter_expression)
+    import pytest as _pytest
+    assert evaluate_parameter_expression("2 ^ 10") == 1024
+    assert evaluate_parameter_expression("trunc(v ^ 2)", {"v": 3.5}) == 12
+    with _pytest.raises(ParameterExpressionError):  # same pow guards apply
+        evaluate_parameter_expression("10 ^ 1000")
+
+
+def test_urn_parse_and_resolve():
+    """GE URN grammar (reference core/urn.py) parses and resolves against
+    parameters_from_verdicts-style keys."""
+    from sparkcheck.eval_params import (evaluate_parameter_expression,
+                                        parse_ge_urn, resolve_urn)
+    u = ("urn:great_expectations:validations:day1:"
+         "expect_column_values_to_not_be_null.result.unexpected_count:"
+         "column=clip_id")
+    f = parse_ge_urn(u)
+    assert f["urn_type"] == "validations"
+    assert f["expectation_suite_name"] == "day1"
+    assert f["metric_name"] == \
+        "expect_column_values_to_not_be_null.result.unexpected_count"
+    assert f["metric_kwargs"] == {"column": "clip_id"}
+    params = {
+        "expect_column_values_to_not_be_null:clip_id:unexpected_count": 7,
+        "table.row_count": 3000,
+    }
+    assert resolve_urn(u, params) == 7
+    # raw URN key wins when supplied directly (reference literal-key path)
+    assert resolve_urn(u, {u: 42}) == 42
+    # table row-count observed_value maps onto table.row_count
+    u2 = ("urn:great_expectations:validations:day1:"
+          "expect_table_row_count_to_equal.result.observed_value")
+    assert resolve_urn(u2, params) == 3000
+    # lone URN as the whole expression returns the value unchanged
+    assert evaluate_parameter_expression(u2, params) == 3000
+    # URN embedded in arithmetic
+    assert evaluate_parameter_expression(f"{u2} - 1000", params) == 2000
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        resolve_urn("urn:great_expectations:validations:day1:"
+                    "expect_nothing.result.unexpected_count", params)
