@@ -13,9 +13,14 @@ Result formats:
   unexpected_percent_total, unexpected_percent_nonmissing
 - SUMMARY: + partial_unexpected_counts (most-common, tie-broken (-count, value))
 - COMPLETE: + unexpected_list
-(unexpected_index_list is Pandas-only in the reference — Spark has no stable
-row index; we omit it, as the reference does for its Spark engine:
-expectation.py:1541-1553, self_check/util.py:1994-2000.)
+(The reference's positional `unexpected_index_list` is Pandas-only — Spark
+has no stable row index (expectation.py:1541-1553, self_check/util.py:
+1994-2000). Our analogue is opt-in: pass
+``result_format={"result_format": "SUMMARY", "unexpected_index_column_names":
+["clip_id"]}`` and SUMMARY adds `partial_unexpected_index_list` /
+COMPLETE adds `unexpected_index_list`, each entry a dict of the named
+business-key column(s) + the domain column's unexpected value — the shape
+the reference's newer result-format contract uses for keyed indices.)
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ def normalize_result_format(result_format: Any) -> dict:
     rf = dict(result_format)
     rf.setdefault("result_format", "BASIC")
     rf.setdefault("partial_unexpected_count", DEFAULT_PARTIAL_UNEXPECTED_COUNT)
+    rf.setdefault("unexpected_index_column_names", None)
     return rf
 
 
@@ -56,9 +62,14 @@ def format_map_output(
     nonnull_count: int,
     unexpected_count: int,
     unexpected_list: list | None = None,
+    unexpected_index_list: list | None = None,
 ) -> dict:
     """Build the map-expectation `result` dict, field-for-field compatible
-    with the reference (expectation.py:1989-2109)."""
+    with the reference (expectation.py:1989-2109). `unexpected_index_list`
+    (keyed entries from unexpected_index_column_names) follows the
+    reference's placement rules: truncated to partial_unexpected_count at
+    SUMMARY, full at COMPLETE (expectation.py:2087-2103); the keys are
+    emitted only when an index list was collected (opt-in)."""
     rf = result_format["result_format"]
     if rf == "BOOLEAN_ONLY":
         return {}
@@ -102,12 +113,16 @@ def format_map_output(
     except TypeError:  # unhashable values
         partial_counts = []
     result["partial_unexpected_counts"] = partial_counts
+    if unexpected_index_list is not None:
+        result["partial_unexpected_index_list"] = unexpected_index_list[:k]
 
     if rf == "SUMMARY":
         return result
 
     # COMPLETE adds the full unexpected list
     result["unexpected_list"] = ulist
+    if unexpected_index_list is not None:
+        result["unexpected_index_list"] = unexpected_index_list
     return result
 
 

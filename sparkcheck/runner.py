@@ -112,18 +112,42 @@ class ValidationRun:
             return self.rf["unexpected_list_limit"]
         return self.rf["partial_unexpected_count"]
 
-    def _collect_samples(self, dfd: DataFrame, unexpected_cond: Column, item: CompiledItem) -> list:
+    def _collect_samples(self, dfd: DataFrame, unexpected_cond: Column,
+                         item: CompiledItem) -> tuple[list, list | None]:
+        """Violation samples, plus — when the result format names
+        `unexpected_index_column_names` — a keyed index entry per sample.
+
+        Spark has no stable row index, so the reference's pandas-only
+        `unexpected_index_list` (positional indices, expectation.py:
+        1541-1553) is re-expressed the way its newer result-format contract
+        does: the caller names business-key column(s) (e.g. clip_id) and
+        each entry is a dict of those key values + the domain column's
+        unexpected value. Same limit/caps as the sample list."""
         if self.rf["result_format"] == "BOOLEAN_ONLY":
-            return []
+            return [], None
         kw = item.kwargs
         value = item.spec.sample_value(kw) if item.spec.sample_value else F.col(kw["column"])
+        idx_cols = self.rf.get("unexpected_index_column_names") or None
+        sel = [value.alias("v")]
+        if idx_cols:
+            sel += [F.col(c).alias(f"__idx_{i}") for i, c in enumerate(idx_cols)]
         rows = (
             dfd.filter(unexpected_cond)
-            .select(value.alias("v"))
+            .select(*sel)
             .limit(self._sample_limit())
             .collect()
         )
-        return [self._sample_py(r["v"], kw) for r in rows]
+        samples = [self._sample_py(r["v"], kw) for r in rows]
+        if not idx_cols:
+            return samples, None
+        domain = kw.get("column")
+        index_list = []
+        for r, s in zip(rows, samples):
+            entry = {c: r[f"__idx_{i}"] for i, c in enumerate(idx_cols)}
+            if domain and domain not in entry:
+                entry[domain] = s
+            index_list.append(entry)
+        return samples, index_list
 
     @staticmethod
     def _sample_py(v, kw: dict):
@@ -138,10 +162,11 @@ class ValidationRun:
         return v
 
     def _map_evr(self, item: CompiledItem, element: int, nonnull: int, unexpected: int,
-                 samples: list) -> ExpectationValidationResult:
+                 samples: list, index_list: list | None = None) -> ExpectationValidationResult:
         mostly = item.kwargs.get("mostly", 1.0)
         success = mostly_success(element, nonnull, unexpected, mostly)
-        result = format_map_output(self.rf, success, element, nonnull, unexpected, samples)
+        result = format_map_output(self.rf, success, element, nonnull, unexpected, samples,
+                                   unexpected_index_list=index_list)
         return ExpectationValidationResult(success=success, expectation_config=item.config, result=result)
 
     def _between_evr(self, item: CompiledItem, value: Any) -> ExpectationValidationResult:
@@ -206,11 +231,13 @@ class ValidationRun:
             nonnull = int(row[item.slots["nonnull"]] or 0)
             unexpected = int(row[item.slots["unexpected"]] or 0)
             samples: list = []
+            index_list = None
             if unexpected and self.rf["result_format"] != "BOOLEAN_ONLY":
                 nn = self._nonnull_of(item)
                 expected = spec.condition(kw)
-                samples = self._collect_samples(item.info["dfd"], nn & ~expected, item)
-            return self._map_evr(item, element, nonnull, unexpected, samples)
+                samples, index_list = self._collect_samples(
+                    item.info["dfd"], nn & ~expected, item)
+            return self._map_evr(item, element, nonnull, unexpected, samples, index_list)
 
         if spec.kind == "agg":
             return self._between_evr(item, row[item.slots["value"]])
@@ -793,9 +820,10 @@ class ValidationRun:
             nonnull = int(grow[item.slots["nonnull"]] or 0)
             unexpected = int(zrow.get(f"z{i}", 0) or 0)
             samples: list = []
+            index_list = None
             if unexpected and self.rf["result_format"] != "BOOLEAN_ONLY":
-                samples = self._collect_samples(dfd, conds[f"z{i}"], item)
-            evr = self._map_evr(item, element, nonnull, unexpected, samples)
+                samples, index_list = self._collect_samples(dfd, conds[f"z{i}"], item)
+            evr = self._map_evr(item, element, nonnull, unexpected, samples, index_list)
             out.append((item, evr))
         return out
 

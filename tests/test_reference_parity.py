@@ -168,3 +168,81 @@ def test_evr_parity(spark, fixtures, table, etype, kwargs):
             assert _sorted_list(ov_o) == _sorted_list(ov_r)
         else:
             assert _close(ov_o, ov_r), f"observed: ours={ov_o} ref={ov_r}"
+
+
+class TestUnexpectedIndexListParity:
+    """Keyed unexpected-index analogue vs the reference's pandas-only
+    positional `unexpected_index_list` (expectation.py:2087-2103): Spark has
+    no stable row index, so the caller names business-key columns
+    (unexpected_index_column_names); with a key column that EQUALS the
+    pandas positional index, the two contracts must agree on membership,
+    truncation (partial = first partial_unexpected_count at SUMMARY) and
+    placement (full list only at COMPLETE)."""
+
+    ROWS = [("clip-1", 16000), ("clip-2", 99000), ("clip-2", 1234),
+            (None, 98000), ("bad_5", 97000), ("clip-9", 8000)]
+
+    def _both(self, spark):
+        import pandas as pd
+        from great_expectations.dataset.pandas_dataset import PandasDataset
+        pdf = pd.DataFrame(self.ROWS, columns=["clip_id", "sr_hz"])
+        ref = PandasDataset(pdf)
+        sdf = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(self.ROWS)],
+            "idx int, clip_id string, sr_hz int")
+        return ref, sdf
+
+    def _ours(self, sdf, rf, **kwargs):
+        suite = ExpectationSuite("p").add(
+            "expect_column_values_to_be_between", column="sr_hz", **kwargs)
+        return validate(sdf, suite, result_format={
+            "result_format": rf, "partial_unexpected_count": 2,
+            "unexpected_index_column_names": ["idx"]}).results[0]
+
+    def test_summary_truncation_and_membership(self, spark):
+        ref, sdf = self._both(spark)
+        r = ref.expect_column_values_to_be_between(
+            column="sr_hz", min_value=1000, max_value=50000,
+            result_format={"result_format": "SUMMARY",
+                           "partial_unexpected_count": 2})
+        ours = self._ours(sdf, "SUMMARY", min_value=1000, max_value=50000)
+        # 3 violations (rows 1, 3, 4) but partial truncates to 2 — same rule
+        ref_partial = r.result["partial_unexpected_index_list"]
+        our_partial = ours.result["partial_unexpected_index_list"]
+        assert len(ref_partial) == len(our_partial) == 2
+        # our keyed entries carry the key AND the domain value
+        for e in our_partial:
+            assert set(e) == {"idx", "sr_hz"}
+        # membership: every reported key is a true violation index
+        all_viol = {1, 3, 4}
+        assert set(ref_partial) <= all_viol
+        assert {e["idx"] for e in our_partial} <= all_viol
+        # SUMMARY must NOT carry the full list — reference placement rule
+        assert "unexpected_index_list" not in ours.result
+        assert "unexpected_index_list" not in r.result
+
+    def test_complete_full_list_matches(self, spark):
+        ref, sdf = self._both(spark)
+        r = ref.expect_column_values_to_be_between(
+            column="sr_hz", min_value=1000, max_value=50000,
+            result_format="COMPLETE")
+        ours = self._ours(sdf, "COMPLETE", min_value=1000, max_value=50000)
+        assert set(r.result["unexpected_index_list"]) == \
+            {e["idx"] for e in ours.result["unexpected_index_list"]} == {1, 3, 4}
+        # values agree row-by-row through the key
+        ref_by_idx = dict(zip(r.result["unexpected_index_list"],
+                              r.result["unexpected_list"]))
+        for e in ours.result["unexpected_index_list"]:
+            assert ref_by_idx[e["idx"]] == e["sr_hz"]
+
+    def test_opt_out_keeps_reference_spark_shape(self, spark):
+        """Without unexpected_index_column_names the result has no index
+        keys at all — matching the reference's Spark engine, which emits
+        None/omits them (self_check/util.py:1994-2000)."""
+        _, sdf = self._both(spark)
+        suite = ExpectationSuite("p").add(
+            "expect_column_values_to_be_between", column="sr_hz",
+            min_value=1000, max_value=50000)
+        r = validate(sdf, suite, result_format="COMPLETE").results[0]
+        assert "unexpected_index_list" not in r.result
+        assert "partial_unexpected_index_list" not in r.result
