@@ -86,7 +86,23 @@ def audio_contract_suite():
     )
 
 
-def setup_bench_tables(spark) -> tuple[str, str, str]:
+def _write_hashed_variant(spark, src: str) -> str:
+    """Ingest-time payload hashing (the design's own answer to single-box
+    binary-scan limits): the table carries payload_h = xxhash64(bytes), so
+    the SNR prescreen reads/shuffles 8-byte hashes and never touches the
+    binary column until a mismatch must be decoded."""
+    from pyspark.sql import functions as F
+    dst = src + "_hashed"
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        shutil.rmtree(dst, ignore_errors=True)
+        (spark.read.parquet(src)
+         .withColumn("payload_h",
+                     F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+         .write.mode("overwrite").parquet(dst))
+    return dst
+
+
+def setup_bench_tables(spark) -> tuple[str, str, str, str, str]:
     """Generate + write the audio parquet tables once (untimed setup)."""
     from sparkcheck.io import generate_audio_clips
     meta_path = os.path.join(WORK, f"clips_meta_{N_META}")
@@ -104,10 +120,13 @@ def setup_bench_tables(spark) -> tuple[str, str, str]:
         shutil.rmtree(ref_path, ignore_errors=True)
         (generate_audio_clips(spark, N_SNR, clean=True, num_partitions=2 * CPUS)
          .write.mode("overwrite").parquet(ref_path))
-    return meta_path, snr_path, ref_path
+    snr_h = _write_hashed_variant(spark, snr_path)
+    ref_h = _write_hashed_variant(spark, ref_path)
+    return meta_path, snr_path, ref_path, snr_h, ref_h
 
 
-def run_headline(spark, meta_path: str, snr_path: str, ref_path: str) -> dict:
+def run_headline(spark, meta_path: str, snr_path: str, ref_path: str,
+                 snr_hash_path: str, ref_hash_path: str) -> dict:
     from sparkcheck import ExpectationSuite, validate
 
     out: dict = {}
@@ -139,6 +158,23 @@ def run_headline(spark, meta_path: str, snr_path: str, ref_path: str) -> dict:
     out["audio_snr_sec"] = round(dt, 3)
     out["audio_snr_clips_per_sec"] = round(N_SNR / dt, 1)
     out["audio_snr_unexpected"] = int(res.results[0].result["unexpected_count"])
+
+    # hash-ingest variant (VERDICT r2 #6): same invariant over tables
+    # carrying precomputed payload hashes — the prescreen reads/shuffles
+    # 8-byte hashes with ZERO binary read; only mismatching rows decode.
+    dirty_h = spark.read.parquet(snr_hash_path)
+    ref_h = spark.read.parquet(ref_hash_path)
+    suite_h = ExpectationSuite("snr_h").add(
+        "expect_audio_snr_vs_reference_to_be_above",
+        reference_table="ref", min_snr_db=30.0, mostly=0.99,
+        hash_column="payload_h")
+    t0 = time.time()
+    res_h = validate(dirty_h, suite_h, tables={"ref": ref_h})
+    dt = time.time() - t0
+    out["audio_snr_hashcol_sec"] = round(dt, 3)
+    out["audio_snr_hashcol_clips_per_sec"] = round(N_SNR / dt, 1)
+    assert int(res_h.results[0].result["unexpected_count"]) == \
+        out["audio_snr_unexpected"], "hash-ingest path changed the verdict"
     return out
 
 
@@ -204,8 +240,8 @@ def main() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        meta_path, snr_path, ref_path = setup_bench_tables(spark)
-        headline = run_headline(spark, meta_path, snr_path, ref_path)
+        meta_path, snr_path, ref_path, snr_h, ref_h = setup_bench_tables(spark)
+        headline = run_headline(spark, meta_path, snr_path, ref_path, snr_h, ref_h)
         ref_row = ({} if os.environ.get("SPARKCHECK_BENCH_REFERENCE", "1") == "0"
                    else run_reference_ge(spark, meta_path,
                                          headline.pop("_suite_results")))
@@ -215,6 +251,7 @@ def main() -> None:
         queries["audio_contract_suite_1500k"] = headline["audio_suite_sec"]
         queries["audio_contract_suite_1500k_warm"] = headline["audio_suite_warm_sec"]
         queries["audio_snr_invariant_50k"] = headline["audio_snr_sec"]
+        queries["audio_snr_hash_ingest_50k"] = headline["audio_snr_hashcol_sec"]
         total = round(sum(queries.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         try:
@@ -232,6 +269,7 @@ def main() -> None:
             "clips_per_sec_metadata_suite": headline["audio_suite_clips_per_sec"],
             "clips_per_sec_metadata_suite_warm": headline["audio_suite_warm_clips_per_sec"],
             "clips_per_sec_snr_invariant": headline["audio_snr_clips_per_sec"],
+            "clips_per_sec_snr_hash_ingest": headline["audio_snr_hashcol_clips_per_sec"],
             **ref_row,
         }))
     finally:

@@ -332,6 +332,93 @@ def ks_p_value(ks: float, n: float) -> float:
     return kolmogorov_sf((en + 0.12 + 0.11 / en) * ks)
 
 
+def ks_cdf_exact(n: int, d: float) -> float:
+    """Exact P(D_n < d) for the one-sample two-sided KS statistic —
+    Marsaglia–Tsang–Wang, "Evaluating Kolmogorov's Distribution" (JSS 2003):
+    P = (n!/n^n) * (H^n)[k-1,k-1] for an (2k-1)-square band matrix H, with
+    k = ceil(n d), h = k - n d. Scipy-free; used for the small-n bootstrap
+    resamples where the asymptotic formula is badly biased."""
+    if d <= 0:
+        return 0.0
+    if d >= 1:
+        return 1.0
+    k = int(np.ceil(n * d))
+    h = k - n * d
+    m = 2 * k - 1
+    H = np.zeros((m, m))
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 >= 0:
+                H[i, j] = 1.0
+    for i in range(m):
+        H[i, 0] -= h ** (i + 1)
+        H[m - 1, i] -= h ** (m - i)
+    if 2 * h - 1 > 0:
+        H[m - 1, 0] += (2 * h - 1) ** m
+    import math
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 > 0:
+                H[i, j] /= float(math.factorial(i - j + 1))
+    # iterated multiply with rescaling (exponent carried separately)
+    Hn = np.eye(m)
+    e_q = 0
+    for _ in range(n):
+        Hn = Hn @ H
+        if Hn[k - 1, k - 1] > 1e140:
+            Hn *= 1e-140
+            e_q += 140
+    t = Hn[k - 1, k - 1]
+    # multiply by n!/n^n incrementally to stay in range
+    for i in range(1, n + 1):
+        t *= i / n
+        if t < 1e-140 and e_q > 0:
+            t *= 1e140
+            e_q -= 140
+    return float(min(1.0, max(0.0, t * 10.0 ** e_q)))
+
+
+def ks_p_value_small_n(d: float, n: int) -> float:
+    """One-sample two-sided KS p-value: exact (MTW) for n <= 50, asymptotic
+    beyond — mirroring scipy.stats.kstest's mode='auto' switch."""
+    if n <= 50:
+        return 1.0 - ks_cdf_exact(n, d)
+    return ks_p_value(d, n)
+
+
+def bootstrap_ks_test(pool: np.ndarray, bins: list[float],
+                      weights: list[float], *, p: float = 0.05,
+                      bootstrap_samples: int = 1000,
+                      bootstrap_sample_size: int | None = None,
+                      seed: int = 42) -> tuple[float, dict]:
+    """Reference-faithful bootstrapped KS
+    (column_bootstrapped_ks_test_p_value.py:44-96): draw
+    `bootstrap_samples` resamples of `bootstrap_sample_size` raw values
+    (default 2x the number of partition weights) from the pool, KS-test each
+    against the partition's interpolated CDF, and report
+    (1 + #{p_i >= p}) / (samples + 1). Differences from the reference, by
+    design: seeded RNG (deterministic verdicts) and the pool is a bounded
+    uniform sample of the column, not the whole column (driver memory flat
+    at any scale; the bootstrap only ever touches samples*size draws)."""
+    test_cdf = np.append([0.0], np.cumsum(weights))
+    size = bootstrap_sample_size or len(weights) * 2
+    rng = np.random.default_rng(seed)
+    hits = 0
+    for _ in range(bootstrap_samples):
+        s = np.sort(rng.choice(pool, size=size))
+        cdf_vals = np.interp(s, bins, test_cdf)
+        dplus = float(np.max(np.arange(1, size + 1) / size - cdf_vals))
+        dminus = float(np.max(cdf_vals - np.arange(0, size) / size))
+        d = max(dplus, dminus)
+        if ks_p_value_small_n(d, size) >= p:
+            hits += 1
+    value = (1 + hits) / (bootstrap_samples + 1)
+    return value, {"method": "bootstrapped_raw_sample",
+                   "bootstrap_samples": bootstrap_samples,
+                   "bootstrap_sample_size": size, "p": p,
+                   "pool_size": int(len(pool)), "seed": seed}
+
+
 def distribution_cdf(dist: str, params: dict, x: float) -> float:
     """CDF of a named distribution (norm/uniform/expon) at x — scipy-free."""
     import math

@@ -310,6 +310,21 @@ class ValidationRun:
                 result={"observed_value": observed})
         raise ValueError(handler)
 
+    def _raw_sample_pool(self, item: CompiledItem, nonnull: int, *,
+                         cap: int, seed: int):
+        """Bounded uniform sample of the column's raw non-null values for
+        driver-side bootstrap scoring. Below the cap the pool is the whole
+        column; above it, a seeded fraction sample (slightly over-drawn,
+        then limited) — one extra narrow scan, pruned to the single column."""
+        import numpy as np
+        kw = item.kwargs
+        col = F.col(kw["column"]).cast("double")
+        nn = item.info["dfd"].filter(col.isNotNull()).select(col.alias("v"))
+        if nonnull > cap:
+            frac = min(1.0, cap * 1.2 / nonnull)
+            nn = nn.sample(False, frac, seed)
+        return np.array([r["v"] for r in nn.limit(cap).collect()], dtype=float)
+
     def _drift_counts(self, item: CompiledItem, row: dict) -> tuple[list[float], float, float, float]:
         counts = [float(row[a] or 0) for a in item.info["bin_aliases"]]
         below = float(row[item.slots["below"]] or 0) if "below" in item.slots else 0.0
@@ -331,6 +346,31 @@ class ValidationRun:
             value, details = sketches.psi(counts, expected), {}
         elif score_kind == "chisq_p":
             value, details = sketches.chisquare_p_value(counts, expected)
+        elif score_kind == "ks_p" and kw.get("bootstrap"):
+            # reference-faithful mode (column_bootstrapped_ks_test_p_value
+            # .py:44-96): bootstrap raw samples against the partition CDF.
+            # The pool is a BOUNDED uniform sample of the column (cap
+            # default 100k) so driver memory stays flat at any scale — the
+            # bootstrap itself only draws samples*size values from it.
+            po = kw["partition_object"]
+            import math as _math
+            if any(_math.isinf(b) for b in po["bins"]):
+                raise ValueError("Partition endpoints must be finite.")
+            if sum(po.get("tail_weights", []) or []) > 0:
+                raise ValueError(
+                    "Partition cannot have tail weights -- endpoints must "
+                    "be finite.")
+            pool = self._raw_sample_pool(
+                item, int(nonnull), cap=int(kw.get("bootstrap_pool_cap", 100_000)),
+                seed=int(kw.get("bootstrap_seed", 42)))
+            value, details = sketches.bootstrap_ks_test(
+                pool, po["bins"], po["weights"],
+                p=float(kw.get("p", 0.05)),
+                bootstrap_samples=int(kw.get("bootstrap_samples") or 1000),
+                bootstrap_sample_size=kw.get("bootstrap_sample_size"),
+                seed=int(kw.get("bootstrap_seed", 42)))
+            details["ks_statistic_binned"] = sketches.ks_statistic(
+                counts, expected)
         elif score_kind in ("ks_p", "ks_param_p"):
             ks = sketches.ks_statistic(counts, expected)
             n_eff = sum(counts)
@@ -340,7 +380,9 @@ class ValidationRun:
                        # the reference (pandas-only) bootstraps RAW samples;
                        # ours scores the KS asymptotic p on the BINNED sketch
                        # (mergeable across partitions, bounded memory) — the
-                       # p-values differ, especially at small n
+                       # p-values differ, especially at small n. Pass
+                       # bootstrap=True for the reference-faithful raw-sample
+                       # bootstrap (bounded pool).
                        "method": "asymptotic_ks_on_binned_sketch"}
         else:
             value, details = sketches.chisquare_statistic(counts, expected), {}

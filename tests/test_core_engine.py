@@ -415,6 +415,49 @@ class TestDrift:
         # reference contract: inf/nan KL -> observed_value None, success False
         assert r.result["observed_value"] is None
 
+    def test_bootstrapped_ks_raw_sample_mode(self, spark):
+        """bootstrap=True: reference-faithful raw-sample bootstrap
+        (column_bootstrapped_ks_test_p_value.py) — in-distribution data
+        passes, shifted data fails, results are deterministic (seeded) and
+        the driver pool stays bounded by bootstrap_pool_cap."""
+        import random
+        rng = random.Random(7)
+        rows = [(rng.uniform(0.0, 10.0),) for _ in range(4000)]
+        df = spark.createDataFrame(rows, "v double").repartition(8)
+        po = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0],
+              "weights": [0.25, 0.25, 0.25, 0.25]}
+        kw = dict(column="v", partition_object=po, threshold=0.05,
+                  bootstrap=True, bootstrap_pool_cap=500)
+        r1 = one(df, "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", **kw)
+        # same input, same seed => identical value; a different partitioning
+        # may sample a different pool but must reach the same verdict here
+        r1b = one(df, "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", **kw)
+        assert r1.result["observed_value"] == r1b.result["observed_value"]
+        r2 = one(df.repartition(3),
+                 "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", **kw)
+        assert r1.success and r2.success
+        assert r1.result["observed_value"] > 0.5
+        d = r1.result["details"]
+        assert d["method"] == "bootstrapped_raw_sample"
+        assert d["pool_size"] <= 500
+        assert d["bootstrap_sample_size"] == 8  # 2x len(weights)
+        # shifted distribution: every resample KS-rejects
+        shifted = spark.createDataFrame(
+            [(rng.uniform(7.0, 10.0),) for _ in range(4000)], "v double")
+        r3 = one(shifted,
+                 "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", **kw)
+        assert not r3.success
+        assert r3.result["observed_value"] < 0.05
+
+    def test_bootstrapped_ks_default_stays_sketch(self, spark):
+        """Without bootstrap=True the distributed binned-sketch scoring is
+        unchanged (the documented default)."""
+        df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+        po = {"bins": [0.0, 5.0, 10.0], "weights": [0.5, 0.5]}
+        r = one(df, "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+                column="v", partition_object=po, threshold=0.05)
+        assert r.result["details"]["method"] == "asymptotic_ks_on_binned_sketch"
+
     def test_ks_and_psi(self, spark):
         df = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
         po = {"bins": [0.0, 5.0, 10.0], "weights": [0.5, 0.5]}

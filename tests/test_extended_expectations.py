@@ -82,6 +82,20 @@ def test_gammainc_matches_known_chi2_values():
     assert sketches._gammainc_upper_reg(2.5, 11.070 / 2) == pytest.approx(0.05, abs=1e-3)
 
 
+def test_ks_exact_cdf_marsaglia():
+    """Marsaglia–Tsang–Wang exact P(D_n < d): the paper's worked value
+    K(100, 0.1) ≈ 0.747307 (JSS 2003), boundary behavior, monotonicity, and
+    convergence to the asymptotic formula at larger n."""
+    assert sketches.ks_cdf_exact(100, 0.1) == pytest.approx(0.747307, abs=1e-5)
+    assert sketches.ks_cdf_exact(10, 0.0) == 0.0
+    assert sketches.ks_cdf_exact(10, 1.0) == 1.0
+    vals = [sketches.ks_cdf_exact(20, d) for d in (0.1, 0.2, 0.3, 0.4)]
+    assert vals == sorted(vals)
+    # exact vs asymptotic agree at n=50 within the correction's error
+    assert sketches.ks_p_value_small_n(0.15, 50) == pytest.approx(
+        sketches.ks_p_value(0.15, 50), abs=0.01)
+
+
 def test_kolmogorov_sf_known_values():
     # Q_KS(1.36) ~ 0.049 (the classic 5% critical value)
     assert sketches.kolmogorov_sf(1.36) == pytest.approx(0.049, abs=2e-3)

@@ -253,6 +253,25 @@ class TestSimhashPairs:
         assert pairs <= n, pairs
 
 
+class TestLangIdEdges:
+    def test_empty_and_null_text(self, spark):
+        """Documented edge (VERDICT r2 housekeeping): split('', ' ') yields
+        [''] so size==1 — an empty string gets score 0 for every language
+        and the deterministic tie-break predicts the first language ('en');
+        a NULL text predicts NULL."""
+        from sparkcheck.pipeline.text import lang_id
+        df = spark.createDataFrame(
+            [("e", ""), ("n", None),
+             ("es", "el perro y la casa de los amigos es aqui"),
+             ("en", "the cat and the dog are in the house")],
+            "doc_id string, text string")
+        got = {r["doc_id"]: r["predicted_lang"]
+               for r in lang_id(df).collect()}
+        assert got["e"] == "en"       # all-zero scores -> first language
+        assert got["n"] is None       # null text -> null prediction
+        assert got["es"] == "es" and got["en"] == "en"
+
+
 class TestSessionization:
     def test_gap_sessions_known_fixture(self, spark):
         import datetime as dt
