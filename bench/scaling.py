@@ -42,6 +42,11 @@ sys.path.insert(0, REPO)
 N_META = int(os.environ.get("SPARKCHECK_SCALE_CLIPS", "48000000"))
 N_SNR = int(os.environ.get("SPARKCHECK_SCALE_SNR_CLIPS", "150000"))
 SNR_MS = int(os.environ.get("SPARKCHECK_SCALE_SNR_MS", "2000"))  # realistic ~2s clips: decode-dominated
+# hash-ingest workload: scaling lives in the narrow hash join, not the
+# payload bytes, so use MANY rows of SHORT clips — enough work per level
+# that JVM/python fixed overheads don't swamp the measurement
+N_SNR_HASH = int(os.environ.get("SPARKCHECK_SCALE_SNR_HASH_CLIPS", "1000000"))
+SNR_HASH_MS = int(os.environ.get("SPARKCHECK_SCALE_SNR_HASH_MS", "250"))
 WORK = os.environ.get("SPARKCHECK_BENCH_DIR", "/tmp/sparkcheck_bench")
 CPU_LO = int(os.environ.get("SPARKCHECK_SCALE_N", "4"))
 CPU_HI = int(os.environ.get("SPARKCHECK_SCALE_4N", "16"))
@@ -68,8 +73,9 @@ def ensure_tables() -> tuple[str, str, str]:
     meta = os.path.join(WORK, f"clips_meta_{N_META}")
     snr = os.path.join(WORK, f"clips_bytes_{N_SNR}_ms{SNR_MS}")
     ref = os.path.join(WORK, f"clips_ref_{N_SNR}_ms{SNR_MS}")
-    hashed = [snr + "_hashed", ref + "_hashed"]
-    todo = [p for p in (meta, snr, ref, *hashed)
+    hsnr = os.path.join(WORK, f"clips_hash_{N_SNR_HASH}_ms{SNR_HASH_MS}")
+    href = os.path.join(WORK, f"clips_hashref_{N_SNR_HASH}_ms{SNR_HASH_MS}")
+    todo = [p for p in (meta, snr, ref, hsnr, href)
             if not os.path.exists(os.path.join(p, "_SUCCESS"))]
     if todo:
         from pyspark.sql import functions as F
@@ -84,13 +90,18 @@ def ensure_tables() -> tuple[str, str, str]:
         if ref in todo:
             (generate_audio_clips(spark, N_SNR, clean=True, num_partitions=64, audio_ms_cap=SNR_MS)
              .write.mode("overwrite").parquet(ref))
-        for src, dst in ((snr, hashed[0]), (ref, hashed[1])):
+
+        def hashed(n, clean, dst):
+            # ingest-time payload hash: the prescreen reads/shuffles 8 bytes
+            # per row and never touches the binary column
             if dst in todo:
-                # ingest-time payload hash: prescreen shuffles 8 bytes/row
-                (spark.read.parquet(src)
+                (generate_audio_clips(spark, n, clean=clean, num_partitions=128,
+                                      audio_ms_cap=SNR_HASH_MS)
                  .withColumn("payload_h", F.when(F.col("bytes").isNotNull(),
                                                  F.xxhash64("bytes")))
                  .write.mode("overwrite").parquet(dst))
+        hashed(N_SNR_HASH, False, hsnr)
+        hashed(N_SNR_HASH, True, href)
         spark.stop()
     return meta, snr, ref
 
@@ -130,9 +141,13 @@ def run_at(cpus: int, meta: str, snr: str, ref: str) -> dict:
         # hash-ingest variant (VERDICT r2 #6): precomputed payload hashes —
         # the prescreen reads/shuffles 8-byte hashes with zero binary read,
         # so this is the path whose scaling is NOT bounded by the single-box
-        # binary-scan memory-bandwidth ceiling documented in BASELINE.md
-        dirty_h = spark.read.parquet(snr + "_hashed")
-        ref_h = spark.read.parquet(ref + "_hashed")
+        # binary-scan memory-bandwidth ceiling documented in BASELINE.md.
+        # Dedicated many-rows/short-clips fixture: the scalable work is the
+        # narrow hash join, so row count (not payload bytes) sets the load.
+        hsnr = os.path.join(WORK, f"clips_hash_{N_SNR_HASH}_ms{SNR_HASH_MS}")
+        href = os.path.join(WORK, f"clips_hashref_{N_SNR_HASH}_ms{SNR_HASH_MS}")
+        dirty_h = spark.read.parquet(hsnr)
+        ref_h = spark.read.parquet(href)
         suite_h = ExpectationSuite("snr_h").add(
             "expect_audio_snr_vs_reference_to_be_above",
             reference_table="ref", min_snr_db=30.0, mostly=0.99,
@@ -148,7 +163,7 @@ def run_at(cpus: int, meta: str, snr: str, ref: str) -> dict:
             "snr_sec": round(dt_snr, 2),
             "snr_clips_per_sec": round(N_SNR / dt_snr, 1),
             "snr_hash_sec": round(dt_snr_h, 2),
-            "snr_hash_clips_per_sec": round(N_SNR / dt_snr_h, 1),
+            "snr_hash_clips_per_sec": round(N_SNR_HASH / dt_snr_h, 1),
             "verdicts": (verdict_key(res_meta) + verdict_key(res_snr)
                          + verdict_key(res_snr_h)),
         }
@@ -202,7 +217,9 @@ def main() -> None:
     eff_snr_h = (hi["snr_hash_clips_per_sec"] / lo["snr_hash_clips_per_sec"]) / factor
     out = {
         "workload_clips": {"metadata_suite": N_META, "snr_invariant": N_SNR,
-                           "snr_clip_ms_cap": SNR_MS},
+                           "snr_clip_ms_cap": SNR_MS,
+                           "snr_hash_ingest": N_SNR_HASH,
+                           "snr_hash_clip_ms_cap": SNR_HASH_MS},
         "n_parallelism": CPU_LO, "4n_parallelism": CPU_HI,
         "metadata_suite": {
             "throughput_at_N": lo["meta_clips_per_sec"],

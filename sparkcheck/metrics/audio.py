@@ -353,24 +353,55 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
             mkeys = (hj.filter(F.col("__nn") & F.col("__has_ref")
                                & ~F.coalesce(F.col("__same"), F.lit(False)))
                      .select(F.col("__k").alias(key)))
-            if n_mismatch <= int(kw.get("max_pushdown_keys", 100_000)):
+            if n_mismatch <= int(kw.get("max_pushdown_keys", 250)):
                 # small violation set: materialize the keys and filter with
                 # isin — the predicate reaches the parquet scan (PushedFilters)
                 # so row-group stats skip almost all binary data, instead of
-                # two full-table rescans feeding a semi-join
+                # two full-table rescans feeding a semi-join.
+                #
+                # CRITICAL conf: Spark only translates In to a parquet
+                # in-filter up to spark.sql.parquet.pushdown.inFilterThreshold
+                # values (default 10); above that it degrades to a min..max
+                # range filter, which on a key-sorted table spans everything
+                # — the scan silently reads the FULL binary column (measured:
+                # 30s vs <1s on a cold 19 GB table). Raise the threshold to
+                # cover the key set for the decode actions, restore after.
+                # The max_pushdown_keys default (250) doubles as the safety
+                # bound: parquet represents a pushed In as a NESTED Or tree,
+                # and ~1000 values overflow the executor thread stack
+                # (observed StackOverflowError) — beyond the cap the
+                # broadcast semi-join below is both safe and scalable.
                 keys = [r[key] for r in mkeys.collect()]
+                conf = dfd.sparkSession.conf
+                _TH = "spark.sql.parquet.pushdown.inFilterThreshold"
+                old_th = conf.get(_TH, None)
+                if old_th is None or int(old_th) <= len(keys):
+                    conf.set(_TH, str(len(keys) + 1))
+                    restore_th = old_th
+                else:
+                    restore_th = False  # already large enough; don't touch
                 sub = dfd.filter(F.col(key).isin(keys))
                 sub_ref = ref.filter(F.col(key).isin(keys))
             else:
-                # decode only the mismatched pairs; AQE broadcasts the (small)
-                # key set into both semi-joins
-                sub = dfd.join(mkeys, key, "left_semi")
-                sub_ref = ref.join(mkeys, key, "left_semi")
+                restore_th = False
+                # decode only the mismatched pairs; the key set comes from
+                # the persisted prescreen so the explicit broadcast is cheap
+                # and keeps the big binary side from shuffling for the join
+                sub = dfd.join(F.broadcast(mkeys), key, "left_semi")
+                sub_ref = ref.join(F.broadcast(mkeys), key, "left_semi")
+            # size the decode to the violation set: with n_mismatch rows the
+            # default 2x-parallelism repartition spawns dozens of mostly-empty
+            # Arrow python workers (measured: ~13s fixed overhead decoding
+            # 150 clips at 32 partitions). ~64 clips per decode task keeps
+            # workers busy without over-spawning; never above parallelism.
+            sc = dfd.sparkSession.sparkContext
+            auto_parts = max(1, min(int(sc.defaultParallelism),
+                                    (n_mismatch + 63) // 64))
             scored = snr_scores(
                 sub, sub_ref, join_key=key, bytes_col=bytes_col,
                 codec_col=codec_col,
                 strict_codecs=kw.get("strict_codecs", False),
-                num_partitions=kw.get("num_partitions"))
+                num_partitions=kw.get("num_partitions") or auto_parts)
             proj = scored.select(F.col(key).alias("__k"),
                                  (F.col("__snr_db") < min_snr).alias("__bad"),
                                  "__snr_db")
@@ -386,6 +417,11 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
                                     .limit(run._sample_limit()).collect()]
             finally:
                 proj.unpersist()
+                if restore_th is not False:  # decode actions done: restore
+                    if restore_th is None:
+                        conf.unset(_TH)
+                    else:
+                        conf.set(_TH, restore_th)
 
         unexpected = no_ref + bad_snr
         samples = list(snr_bad_keys)

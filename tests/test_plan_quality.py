@@ -132,6 +132,55 @@ def test_default_quantiles_use_bounded_sketch(spark, clips_path):
     assert "value" in item_l.slots and not item_l.info.get("use_approx_quantile")
 
 
+def test_mismatch_decode_pushes_in_filter(spark, clips_path):
+    """The SNR mismatch-decode rescan must reach parquet as an In filter so
+    row-group stats can prune (key-sorted layout). Spark silently degrades
+    In to a min..max range above spark.sql.parquet.pushdown.inFilterThreshold
+    (default 10) — on a key-sorted table that range spans everything and the
+    scan reads the FULL binary column. The engine raises the threshold for
+    the decode actions and must restore it afterwards."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    th_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    before = spark.conf.get(th_key, None)
+    # 20k clips so the deterministic corruption yields >10 mismatches —
+    # above Spark's default threshold, i.e. the silent-degrade regime
+    dirty = generate_audio_clips(spark, 20000, num_partitions=4,
+                                 audio_ms_cap=300)
+    ref = generate_audio_clips(spark, 20000, clean=True, num_partitions=4,
+                               audio_ms_cap=300)
+    suite = ExpectationSuite("snr").add(
+        "expect_audio_snr_vs_reference_to_be_above",
+        reference_table="ref", min_snr_db=30.0, mostly=0.5)
+    res = validate(dirty, suite, tables={"ref": ref})
+    d = res.results[0].result["details"]
+    assert 10 < d["hash_mismatch_count"] <= 250, d
+    # conf restored after the decode actions
+    assert spark.conf.get(th_key, None) == before
+
+
+def test_simhash64_scan_prunes_and_single_pass(spark, tmp_path_factory):
+    """simhash64 must read only (id, text), compute all 64 bit-votes in ONE
+    map-side-combinable aggregation over one corpus scan (no per-bit
+    re-scan), and keep the vote sums inside whole-stage codegen."""
+    path = str(tmp_path_factory.mktemp("simhash") / "docs")
+    spark.createDataFrame(
+        [(i, f"some document text number {i} with several words here",
+          "en", "web", 42) for i in range(200)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(path)
+    from sparkcheck.pipeline.dedup import simhash64
+    sh = simhash64(spark.read.parquet(path), "doc_id", "text")
+    txt = _executed_plan(sh)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+    assert txt.count("FileScan parquet") == 1
+    # one partial + one final HashAggregate pair — 64 sums fused, not 64 jobs
+    assert txt.count("HashAggregate") == 2, txt[:800]
+    # '*(' prefixes mark WholeStageCodegen spans in the executed-plan format
+    assert "*(" in txt
+
+
 def test_winnow_scan_prunes_and_single_filescan(spark, tmp_path_factory):
     """Winnowing must read only (id, text) and scan the corpus once (the
     gram array is materialized behind a projection, not re-scanned)."""
