@@ -1182,6 +1182,79 @@ WHERE ws + INTERVAL '1 hour' <= wm.w
 
 
 
+# -------------- bootstrapped KS (raw-sample mode; numpy-replay oracle)
+
+_BOOT_PO = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0],
+            "weights": [0.25, 0.25, 0.25, 0.25]}
+
+
+def _bootstrap_fixture_vals() -> list[float]:
+    """Deterministic synthetic column (seeded, no external data)."""
+    import random
+    rng = random.Random(123)
+    return [round(rng.uniform(0.0, 10.0), 6) for _ in range(3000)]
+
+
+def q_ge_bootstrap_ks(spark, sf_dir):
+    """Reference-faithful bootstrapped KS (bootstrap=True): raw-sample
+    resamples against the partition CDF, seeded and deterministic (the
+    bounded pool is sorted below the cap). Oracle = independent single-
+    process numpy replay of the same bootstrap on the same literal values
+    (runner.py:_raw_sample_pool / sketches.py:bootstrap_ks_test)."""
+    from sparkcheck import ExpectationSuite, validate
+    vals = _bootstrap_fixture_vals()
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(8)
+    suite = ExpectationSuite("ks").add(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="v", partition_object=_BOOT_PO, threshold=0.05,
+        bootstrap=True)
+    r = validate(df, suite).results[0]
+    return spark.createDataFrame(
+        [(bool(r.success), _r(float(r.result["observed_value"]), 6),
+          int(r.result["details"]["pool_size"]))],
+        "success boolean, test_result double, pool_size bigint")
+
+
+def _bootstrap_ks_sql() -> str:
+    import numpy as np
+    from sparkcheck.metrics.sketches import bootstrap_ks_test
+    pool = np.sort(np.array(_bootstrap_fixture_vals(), dtype=float))
+    v, _ = bootstrap_ks_test(pool, _BOOT_PO["bins"], _BOOT_PO["weights"],
+                             p=0.05, bootstrap_samples=1000, seed=42)
+    return (f"SELECT {str(v > 0.05).upper()} AS success, "
+            f"CAST({_r(v, 6)!r} AS DOUBLE) AS test_result, "
+            f"CAST({len(pool)} AS BIGINT) AS pool_size")
+
+
+def q_ge_unexpected_index(spark, sf_dir):
+    """Keyed unexpected-index lists (unexpected_index_column_names): the
+    COMPLETE result carries one dict entry per violation keyed by business
+    columns — here every lineitem row with l_discount > 0.09, keyed by
+    (l_orderkey, l_linenumber). Returned sorted for engine-portable
+    comparison; the oracle recomputes the violation keys in SQL."""
+    from sparkcheck import ExpectationSuite, validate
+    li = _t(spark, sf_dir, "lineitem")
+    suite = ExpectationSuite("idx").add(
+        "expect_column_values_to_be_between", column="l_discount",
+        min_value=0.0, max_value=0.09)
+    r = validate(li, suite, result_format={
+        "result_format": "COMPLETE",
+        "unexpected_index_column_names": ["l_orderkey", "l_linenumber"],
+        "unexpected_list_limit": 50_000}).results[0]
+    rows = sorted((int(e["l_orderkey"]), int(e["l_linenumber"]))
+                  for e in r.result["unexpected_index_list"])
+    return spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber bigint")
+
+
+_SQL_UNEXPECTED_INDEX = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber
+FROM lineitem WHERE l_discount > 0.09
+ORDER BY 1, 2
+"""
+
+
 # ---------------------- audio (binary decode; closed-form literal oracles)
 
 
@@ -1329,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ge_cramers": q_ge_cramers,
         "ge_splitters": q_ge_splitters,
         "ge_drift": q_ge_drift,
+        "ge_bootstrap_ks": q_ge_bootstrap_ks,
+        "ge_unexpected_index": q_ge_unexpected_index,
         "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1379,6 +1454,8 @@ def oracle_sql() -> dict[str, str]:
         "ge_cramers": _SQL_CRAMERS,
         "ge_splitters": _SQL_SPLITTERS,
         "ge_drift": _drift_sql(),
+        "ge_bootstrap_ks": _bootstrap_ks_sql(),
+        "ge_unexpected_index": _SQL_UNEXPECTED_INDEX,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,

@@ -323,7 +323,11 @@ class ValidationRun:
         if nonnull > cap:
             frac = min(1.0, cap * 1.2 / nonnull)
             nn = nn.sample(False, frac, seed)
-        return np.array([r["v"] for r in nn.limit(cap).collect()], dtype=float)
+        vals = np.array([r["v"] for r in nn.limit(cap).collect()], dtype=float)
+        # sort: collect order varies with partitioning, and rng.choice draws
+        # by position — sorting makes the bootstrap value deterministic for
+        # a given multiset (exactly reproducible below the cap)
+        return np.sort(vals)
 
     def _drift_counts(self, item: CompiledItem, row: dict) -> tuple[list[float], float, float, float]:
         counts = [float(row[a] or 0) for a in item.info["bin_aliases"]]
