@@ -1182,6 +1182,51 @@ WHERE ws + INTERVAL '1 hour' <= wm.w
 
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: 3-gram Jaccard pairs (>=0.5) collapsed into
+    connected components (min-label propagation + pointer jumping,
+    dedup.py:duplicate_clusters) — the step that turns pairwise hits into
+    dedup groups with a canonical representative. Output: cluster-size
+    histogram. Oracle: DuckDB recursive-CTE transitive closure over the
+    same pair construction (exhaustive — proves component exactness)."""
+    from sparkcheck.pipeline.dedup import duplicate_clusters, jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    labels = duplicate_clusters(pairs)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select(F.col("sz").cast("bigint").alias("cluster_size"),
+                    F.col("n_clusters").cast("bigint").alias("n_clusters")))
+
+
+_SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+s0 AS (SELECT DISTINCT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(ws)-2,0)),
+                            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+s AS (SELECT s0.* FROM s0
+      JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 1414) k
+      USING (sh)),
+sz AS (SELECT doc_id, count(*) sz FROM s GROUP BY 1),
+p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+jp AS (SELECT ia, ib FROM p
+       JOIN sz sa ON sa.doc_id = p.ia JOIN sz sb ON sb.doc_id = p.ib
+       WHERE 1.0*shared/(sa.sz+sb.sz-shared) >= 0.5),
+edges AS (SELECT ia s, ib d FROM jp UNION SELECT ib, ia FROM jp),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+csz AS (SELECT comp, count(*) AS sz FROM lab GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM csz GROUP BY 1
+"""
+
+
 # -------------- bootstrapped KS (raw-sample mode; numpy-replay oracle)
 
 _BOOT_PO = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0],
@@ -1410,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "events_sessions": q_events_sessions,
         "text_repetition": q_text_repetition,
         "sim_topk_bruteforce": q_sim_topk,
@@ -1462,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "text_repetition": _SQL_TEXT_REPETITION,
         "sim_topk_bruteforce": _SQL_SIM_TOPK,

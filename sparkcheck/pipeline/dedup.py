@@ -219,6 +219,56 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select(F.col(id_col), expr.cast("int").alias("simhash"))
 
 
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs: returns (id, cluster)
+    where cluster is the minimum id reachable through the pair graph — the
+    step that turns pairwise near-dup hits (MinHash/SimHash/Jaccard/
+    embedding) into dedup groups with a canonical representative.
+
+    Algorithm: min-label propagation with pointer jumping. Each round every
+    node takes min(own label, neighbors' labels) — one equi-join shuffle on
+    the edge key — then short-circuits through its label's label (pointer
+    jump), so chains collapse in O(log diameter) rounds rather than
+    O(diameter). Labels only decrease (monotone), so stale reads are safe
+    and the fixpoint is exact. Lineage is truncated per round
+    (localCheckpoint) — an iterative plan would otherwise grow
+    exponentially. Near-dup graphs are unions of small cliques/chains, so
+    few rounds suffice; for adversarial giant components at 100 TB, swap in
+    alternating small-star/large-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same join primitive,
+    provably O(log^2 n) rounds."""
+    e = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+         .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+         .distinct()
+         .localCheckpoint(eager=False))
+    labels = (e.select(F.col("s").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")))
+    for _ in range(max_iter):
+        nmin = (e.join(labels.select(F.col("id").alias("d"),
+                                     F.col("lbl").alias("dl")), "d")
+                .groupBy("s").agg(F.min("dl").alias("nl")))
+        upd = (labels.join(nmin.select(F.col("s").alias("id"), "nl"),
+                           "id", "left")
+               .select("id",
+                       F.least(F.col("lbl"),
+                               F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+                       F.col("lbl").alias("old")))
+        # pointer jump: follow my label's label (monotone, same component)
+        hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("ll"))
+        jumped = (upd.join(hop, "lbl", "left")
+                  .select("id",
+                          F.least(F.col("lbl"),
+                                  F.coalesce(F.col("ll"), F.col("lbl"))).alias("lbl"),
+                          "old")
+                  .localCheckpoint(eager=True))
+        changed = jumped.filter(F.col("lbl") < F.col("old")).limit(1).count()
+        labels = jumped.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens, stored as a signed BIGINT bit
     pattern (bit 63 is the sign bit — two's complement, identical in Spark
