@@ -1182,6 +1182,92 @@ WHERE ws + INTERVAL '1 hour' <= wm.w
 
 
 
+def q_stream_windowed_drift(spark, sf_dir):
+    """SURVEY §2.9 extension: streaming drift detector — per event-time
+    window KL(observed || expected partition) computed NATIVELY inside the
+    stateful windowed aggregation (streaming.py:windowed_drift), watermark
+    closes windows, availableNow runs to completion. Oracle: batch SQL
+    replays the same bucket counts + KL arithmetic per closed window."""
+    import os as _os
+    import re as _re
+    import shutil as _sh
+    import tempfile as _tf
+    from pyspark.sql import types as T
+    from sparkcheck.streaming import windowed_drift
+
+    stage = "/tmp/sc_stream_drift_" + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    _sh.rmtree(stage, ignore_errors=True)
+    _os.makedirs(stage)
+    _sh.copy(f"{sf_dir}/events.parquet", stage + "/events.parquet")
+    base_schema = spark.read.parquet(stage).schema
+    schema = T.StructType([
+        T.StructField(f.name,
+                      T.TimestampType() if f.name == "ts" else f.dataType)
+        for f in base_schema])
+    stream = spark.readStream.schema(schema).parquet(stage)
+    po = {"bins": [0.0, 50.0, 100.0, 200.0, 500.0],
+          "weights": [0.5, 0.25, 0.15, 0.1]}
+    drift = windowed_drift(stream, time_col="ts", window_seconds=3600,
+                           watermark_seconds=1800, value_col="value",
+                           partition_object=po, threshold=0.05)
+    try:
+        spark.catalog.dropTempView("sc_windrift")
+    except Exception:
+        pass  # first run: nothing to drop
+    q = (drift.writeStream.format("memory").queryName("sc_windrift")
+         .outputMode("append")
+         .option("checkpointLocation", _tf.mkdtemp(prefix="sc_windrift_ckpt"))
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_windowed_drift query did not finish in 300s")
+    out = spark.sql("SELECT * FROM sc_windrift")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("element_count").cast("bigint").alias("element_count"),
+        F.col("in_bin_count").cast("bigint").alias("in_bin_count"),
+        F.col("out_of_bin_count").cast("bigint").alias("out_of_bin_count"),
+        F.round("kl", 6).alias("kl"),
+        F.col("drifted"))
+
+
+def _stream_drift_sql() -> str:
+    import math
+    bins = [0.0, 50.0, 100.0, 200.0, 500.0]
+    weights = [0.5, 0.25, 0.15, 0.1]
+    bucket_cases = []
+    for i, (lo, hi) in enumerate(zip(bins, bins[1:])):
+        last = i == len(bins) - 2
+        hi_cmp = "<=" if last else "<"
+        bucket_cases.append(
+            f"CAST(sum(CASE WHEN value >= {lo} AND value {hi_cmp} {hi} "
+            f"THEN 1 ELSE 0 END) AS DOUBLE) AS b{i}")
+    total = " + ".join(f"b{i}" for i in range(len(weights)))
+    kl_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (b{i}/tot) * (ln(b{i}/tot) - ({math.log(w)!r})) "
+        f"ELSE 0 END)" for i, w in enumerate(weights))
+    return f"""
+WITH e AS (SELECT ts, value FROM events),
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e),
+agg AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+               CAST(count(*) AS BIGINT) AS element_count,
+               CAST(count(value) AS BIGINT) AS nonnull_count,
+               {', '.join(bucket_cases)}
+        FROM e GROUP BY 1),
+agg2 AS (SELECT *, ({total}) AS tot FROM agg),
+scored AS (SELECT ws, element_count,
+                  CAST(tot AS BIGINT) AS in_bin_count,
+                  nonnull_count - CAST(tot AS BIGINT) AS out_of_bin_count,
+                  CASE WHEN tot > 0 THEN round({kl_terms}, 6) END AS kl
+           FROM agg2)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       element_count, in_bin_count, out_of_bin_count, kl,
+       CASE WHEN kl IS NOT NULL THEN kl > 0.05 END AS drifted
+FROM scored, wm
+WHERE ws + INTERVAL '1 hour' <= wm.w
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: 3-gram Jaccard pairs (>=0.5) collapsed into
     connected components (min-label propagation + pointer jumping,
@@ -1466,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_winnow": q_text_winnow,
         "stream_windowed_profile": q_stream_windowed_profile,
+        "stream_windowed_drift": q_stream_windowed_drift,
         "audio_snr_invariant": q_audio_snr,
         "audio_suite_partitions": q_audio_suite_partitions,
         "audio_features": q_audio_features,
@@ -1519,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _SQL_TEXT_LANGID,
         "text_winnow": _SQL_TEXT_WINNOW,
         "stream_windowed_profile": _SQL_STREAM_WINDOWED,
+        "stream_windowed_drift": _stream_drift_sql(),
         **_audio_oracle_sql(),
     }
 

@@ -154,6 +154,53 @@ def windowed_profile(stream_df: DataFrame, *, time_col: str,
             .drop("window"))
 
 
+def windowed_drift(stream_df: DataFrame, *, time_col: str,
+                   window_seconds: int, watermark_seconds: int,
+                   value_col: str, partition_object: dict,
+                   threshold: float = 0.1) -> DataFrame:
+    """Streaming drift detector: KL(window-observed || expected partition)
+    scored NATIVELY per event-time window — the KL sum is plain column
+    arithmetic over the window's fused histogram buckets, so the whole
+    detector runs inside Spark's incremental stateful aggregation (no
+    foreachBatch, no driver loop; a window's verdict finalizes when the
+    watermark closes it).
+
+    Semantics: in-bin renormalized KL with no tail/internal holdout —
+    rows outside [bins[0], bins[-1]] are reported via `out_of_bin_count`
+    rather than folded into the score (the batch path's holdout semantics
+    need the reference's tail redistribution, which is driver-side; at a
+    stream boundary the count is the actionable signal). Expected weights
+    must be strictly positive."""
+    from pyspark.sql import functions as F
+    bins = list(partition_object["bins"])
+    weights = list(partition_object["weights"])
+    if any(w <= 0 for w in weights):
+        raise ValueError("windowed_drift requires strictly positive "
+                         "expected weights (zero-weight bins make KL "
+                         "infinite for any observed mass)")
+    prof = windowed_profile(stream_df, time_col=time_col,
+                            window_seconds=window_seconds,
+                            watermark_seconds=watermark_seconds,
+                            value_col=value_col, bins=bins)
+    import math
+    n = len(weights)
+    total = sum((F.col(f"bin_{i}") for i in range(1, n)),
+                F.col("bin_0")).cast("double")
+    kl = F.lit(0.0)
+    for i, w in enumerate(weights):
+        p = F.col(f"bin_{i}").cast("double") / total
+        kl = kl + F.when(F.col(f"bin_{i}") > 0,
+                         p * (F.log(p) - F.lit(math.log(w)))).otherwise(0.0)
+    kl = F.when(total > 0, kl)
+    nonnull = F.col("element_count") - F.col("null_count")
+    return prof.select(
+        "window_start", "window_end", "element_count",
+        total.cast("long").alias("in_bin_count"),
+        (nonnull - total).cast("long").alias("out_of_bin_count"),
+        kl.alias("kl"),
+        F.when(kl.isNotNull(), kl > threshold).alias("drifted"))
+
+
 def stateful_unique_violations(stream_df: DataFrame, key_col: str,
                                *, timeout_seconds: int | None = None) -> DataFrame:
     """Cross-batch uniqueness via applyInPandasWithState (north-star:

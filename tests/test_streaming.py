@@ -2,6 +2,8 @@
 
 import time
 
+import pytest
+
 from sparkcheck.streaming import StreamValidator
 from sparkcheck.types import ExpectationSuite
 
@@ -87,6 +89,47 @@ def test_windowed_profile_with_watermark(spark, tmp_path):
         assert row["element_count"] == expected[sec]["element_count"]
         assert abs(row["mean"] - expected[sec]["mean"]) < 1e-9
         assert row["bin_0"] + row["bin_1"] == row["element_count"]
+
+
+def test_windowed_drift_flags_shifted_window(spark, tmp_path):
+    """Streaming KL drift: a window matching the expected partition scores
+    ~0 (not drifted); a window whose values all pile into one bin drifts.
+    The KL is computed natively inside the stateful aggregation."""
+    import math
+    import os
+    from pyspark.sql import functions as F
+    from sparkcheck.streaming import windowed_drift
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # window :00-:10 = uniform over [0,4); window :10-:20 = all values 3.5
+    # (one bin); a third window's rows only advance the watermark
+    rows = ([(i, f"2024-01-01 00:00:0{i % 10}", float(i % 4)) for i in range(100)]
+            + [(1000 + i, f"2024-01-01 00:00:1{i % 10}", 3.5) for i in range(100)]
+            + [(9000, "2024-01-01 00:00:59", 1.0)])
+    df = spark.createDataFrame(rows, "id bigint, ts_str string, v double") \
+        .select("id", F.col("ts_str").cast("timestamp").alias("ts"), "v")
+    df.coalesce(1).write.parquet(src + "/part1")
+    stream = (spark.readStream.schema("id bigint, ts timestamp, v double")
+              .parquet(src + "/*"))
+    po = {"bins": [0.0, 1.0, 2.0, 3.0, 4.0], "weights": [0.25] * 4}
+    drift = windowed_drift(stream, time_col="ts", window_seconds=10,
+                           watermark_seconds=5, value_col="v",
+                           partition_object=po, threshold=0.1)
+    q = (drift.writeStream.format("memory").queryName("windrift")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r["window_start"].second: r
+           for r in spark.sql("SELECT * FROM windrift").collect()}
+    assert not got[0]["drifted"]
+    assert got[0]["kl"] == pytest.approx(0.0, abs=1e-9)
+    assert got[10]["drifted"]
+    # all mass in one quarter-weight bin: KL = ln(1/0.25)
+    assert got[10]["kl"] == pytest.approx(math.log(4.0), abs=1e-9)
+    assert got[10]["in_bin_count"] == 100
+    assert got[10]["out_of_bin_count"] == 0
 
 
 def test_stateful_unique_across_batches(spark, tmp_path):
