@@ -1409,6 +1409,28 @@ def q_audio_snr(spark, sf_dir):
         "element_count bigint, unexpected_count bigint, success boolean")
 
 
+def q_audio_payload_match(spark, sf_dir):
+    """Payload byte-identity vs the reference twin via hash equality —
+    prescreen-only, zero decode (metrics/audio.py:run_payload_item); run on
+    the stored-hash ingest path so the plan reads no binary at all. Oracle =
+    closed-form literal counts (io.expected_payload_summary; coincides with
+    the SNR set on this fixture by construction)."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    dirty = generate_audio_clips(spark, 3000, num_partitions=8).withColumn(
+        "payload_h", F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+    clean = generate_audio_clips(spark, 3000, clean=True, num_partitions=8).withColumn(
+        "payload_h", F.when(F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+    suite = ExpectationSuite("pm").add(
+        "expect_audio_payload_to_match_reference",
+        reference_table="ref", hash_column="payload_h")
+    r = validate(dirty, suite, tables={"ref": clean}).results[0]
+    return spark.createDataFrame(
+        [(int(r.result["element_count"]), int(r.result["unexpected_count"]),
+          bool(r.success))],
+        "element_count bigint, unexpected_count bigint, success boolean")
+
+
 def q_audio_suite_partitions(spark, sf_dir):
     """Per-partition verdict rows for the audio contract suite (rollup pass)."""
     from sparkcheck import ExpectationSuite, validate
@@ -1554,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_profile": q_stream_windowed_profile,
         "stream_windowed_drift": q_stream_windowed_drift,
         "audio_snr_invariant": q_audio_snr,
+        "audio_payload_match": q_audio_payload_match,
         "audio_suite_partitions": q_audio_suite_partitions,
         "audio_features": q_audio_features,
         "audio_header_check": q_audio_header_check,
@@ -1622,6 +1645,7 @@ def _audio_oracle_sql() -> dict[str, str]:
                                expected_frame_rms_summary,
                                expected_header_summary,
                                expected_partition_verdicts,
+                               expected_payload_summary,
                                expected_snr_summary)
 
     def counts_sql(s: dict) -> str:
@@ -1637,6 +1661,7 @@ def _audio_oracle_sql() -> dict[str, str]:
         f"{str(bool(r['success'])).upper()}, {r['unexpected_count']})" for r in pv)
     return {
         "audio_snr_invariant": counts_sql(expected_snr_summary(3000)),
+        "audio_payload_match": counts_sql(expected_payload_summary(3000)),
         "audio_header_check": counts_sql(expected_header_summary(4000)),
         "audio_features": (
             f"SELECT CAST({feats['n_clips']} AS BIGINT) AS n_clips, "

@@ -75,7 +75,8 @@ def ensure_tables() -> tuple[str, str, str]:
     ref = os.path.join(WORK, f"clips_ref_{N_SNR}_ms{SNR_MS}")
     hsnr = os.path.join(WORK, f"clips_hash_{N_SNR_HASH}_ms{SNR_HASH_MS}")
     href = os.path.join(WORK, f"clips_hashref_{N_SNR_HASH}_ms{SNR_HASH_MS}")
-    todo = [p for p in (meta, snr, ref, hsnr, href)
+    meta_clean = os.path.join(WORK, f"clips_metaclean_{N_META}")
+    todo = [p for p in (meta, snr, ref, hsnr, href, meta_clean)
             if not os.path.exists(os.path.join(p, "_SUCCESS"))]
     if todo:
         from pyspark.sql import functions as F
@@ -84,6 +85,10 @@ def ensure_tables() -> tuple[str, str, str]:
         if meta in todo:
             (generate_audio_clips(spark, N_META, with_bytes=False, num_partitions=256)
              .write.mode("overwrite").parquet(meta))
+        if meta_clean in todo:
+            (generate_audio_clips(spark, N_META, with_bytes=False, clean=True,
+                                  num_partitions=256)
+             .write.mode("overwrite").parquet(meta_clean))
         if snr in todo:
             (generate_audio_clips(spark, N_SNR, num_partitions=64, audio_ms_cap=SNR_MS)
              .write.mode("overwrite").parquet(snr))
@@ -156,6 +161,30 @@ def run_at(cpus: int, meta: str, snr: str, ref: str) -> dict:
         t0 = time.time()
         res_snr_h = validate(dirty_h, suite_h, tables={"ref": ref_h})
         dt_snr_h = time.time() - t0
+
+        # payload byte-identity (prescreen-ONLY, zero decode, zero binary
+        # read with stored hashes): the engine's linearly-scalable integrity
+        # fast path — pure narrow scan + hash join + agg. Run at FULL row
+        # scale (the 48M metadata tables with derived stored hashes; a 1M-row
+        # run finishes in ~2 s and measures only fixed overhead): 48M x 48M
+        # equi-join with a deterministic 0.1% injected hash drift on the
+        # reference side plus the fixture's missing-reference ids.
+        from pyspark.sql import functions as SF
+        meta_clean = os.path.join(WORK, f"clips_metaclean_{N_META}")
+        base = SF.xxhash64(SF.col("clip_id"))
+        dirty_p = (spark.read.parquet(meta)
+                   .withColumn("payload_h", base))
+        ref_p = (spark.read.parquet(meta_clean)
+                 .withColumn("payload_h",
+                             base + (SF.pmod(base, SF.lit(1000)) == 7).cast("long")))
+        suite_p = ExpectationSuite("pm").add(
+            "expect_audio_payload_to_match_reference",
+            reference_table="ref", mostly=0.99, hash_column="payload_h",
+            bytes_column="clip_id")
+        validate(dirty_p.limit(500), suite_p, tables={"ref": ref_p.limit(500)})
+        t0 = time.time()
+        res_pm = validate(dirty_p, suite_p, tables={"ref": ref_p})
+        dt_pm = time.time() - t0
         return {
             "cpus": cpus,
             "meta_sec": round(dt_meta, 2),
@@ -164,8 +193,10 @@ def run_at(cpus: int, meta: str, snr: str, ref: str) -> dict:
             "snr_clips_per_sec": round(N_SNR / dt_snr, 1),
             "snr_hash_sec": round(dt_snr_h, 2),
             "snr_hash_clips_per_sec": round(N_SNR_HASH / dt_snr_h, 1),
+            "payload_sec": round(dt_pm, 2),
+            "payload_clips_per_sec": round(N_META / dt_pm, 1),
             "verdicts": (verdict_key(res_meta) + verdict_key(res_snr)
-                         + verdict_key(res_snr_h)),
+                         + verdict_key(res_snr_h) + verdict_key(res_pm)),
         }
     finally:
         spark.stop()
@@ -215,6 +246,7 @@ def main() -> None:
     eff_meta = (hi["meta_clips_per_sec"] / lo["meta_clips_per_sec"]) / factor
     eff_snr = (hi["snr_clips_per_sec"] / lo["snr_clips_per_sec"]) / factor
     eff_snr_h = (hi["snr_hash_clips_per_sec"] / lo["snr_hash_clips_per_sec"]) / factor
+    eff_pm = (hi["payload_clips_per_sec"] / lo["payload_clips_per_sec"]) / factor
     out = {
         "workload_clips": {"metadata_suite": N_META, "snr_invariant": N_SNR,
                            "snr_clip_ms_cap": SNR_MS,
@@ -238,6 +270,12 @@ def main() -> None:
             "throughput_at_4N": hi["snr_hash_clips_per_sec"],
             "sec_at_N": lo["snr_hash_sec"], "sec_at_4N": hi["snr_hash_sec"],
             "scaling_efficiency": round(eff_snr_h, 3),
+        },
+        "payload_match_prescreen_only": {
+            "throughput_at_N": lo["payload_clips_per_sec"],
+            "throughput_at_4N": hi["payload_clips_per_sec"],
+            "sec_at_N": lo["payload_sec"], "sec_at_4N": hi["payload_sec"],
+            "scaling_efficiency": round(eff_pm, 3),
         },
         "verdicts_identical_across_sizes": lo["verdicts"] == hi["verdicts"],
         "unit": "clips/sec",

@@ -329,6 +329,12 @@ _reg(ExpectationSpec(
 _reg(ExpectationSpec(
     "expect_audio_snr_vs_reference_to_be_above", "audio",
     extra={"handler": "snr"}, defaults={**_MOSTLY, "min_snr_db": 30.0}))
+# byte-identity of the payload vs the reference twin via hash equality —
+# prescreen-only (no decode, no binary shuffle; zero binary READ with a
+# stored hash_column). Ours: the reference has no binary operators.
+_reg(ExpectationSpec(
+    "expect_audio_payload_to_match_reference", "audio",
+    extra={"handler": "payload"}, defaults=dict(_MOSTLY)))
 # header-vs-metadata consistency: decoded RIFF header sample rate must equal
 # the sr_hz metadata column (ours — the reference has no binary operators)
 _reg(ExpectationSpec(

@@ -361,6 +361,18 @@ def expected_snr_summary(n_rows: int, *, min_snr_db: float = 30.0) -> dict:
             "success": int(bad.sum()) == 0}
 
 
+def expected_payload_summary(n_rows: int) -> dict:
+    """(element, unexpected, success) for expect_audio_payload_to_match_
+    reference: unexpected = non-null-bytes rows with a missing reference id
+    or byte-different payload. On THIS fixture the set coincides exactly
+    with expected_snr_summary's — every corrupted payload (detuned sine /
+    truncated RIFF) both differs byte-wise and scores SNR < 30, and every
+    non-corrupted row is byte-identical to its reference twin — but the
+    operators differ in general (a byte-different re-encoding can still
+    pass SNR)."""
+    return expected_snr_summary(n_rows)
+
+
 def expected_header_summary(n_rows: int) -> dict:
     """expect_audio_header_to_match_metadata: the bytes are encoded with the
     clean base sr, the sr_hz column is corrupted afterwards at the BADSR

@@ -443,6 +443,65 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
 
 
 
+def run_payload_item(run, item, dfd: DataFrame, grow: dict):
+    """Engine hook: expect_audio_payload_to_match_reference — byte identity
+    of the payload vs the reference twin, verified by hash equality
+    (xxhash64+crc32, 96 combined bits; or a stored `hash_column`). A
+    prescreen-ONLY invariant: never decodes, never shuffles audio — with
+    `hash_column=` both scans are (key, 8-byte hash), zero binary read.
+
+    unexpected = rows with a non-null payload whose reference row is
+    missing OR whose payload hash differs. This is the engine's
+    linearly-scalable integrity fast path (BASELINE.md reports its N→4N
+    efficiency); byte-different re-encodings of identical audio need the
+    SNR expectation instead."""
+    from pyspark import StorageLevel
+    kw = item.kwargs
+    key = kw.get("join_key", "clip_id")
+    bytes_col = kw.get("bytes_column", "bytes")
+    ref = run.tables[kw["reference_table"]]
+    hash_col = kw.get("hash_column")
+    ref_hash_col = kw.get("ref_hash_column", hash_col)
+
+    def _h(src, a, b, stored):
+        if stored:
+            return src.select(F.col(key).alias("__k"),
+                              F.col(stored).alias(a), F.col(stored).alias(b))
+        nn = F.col(bytes_col).isNotNull()
+        return src.select(
+            F.col(key).alias("__k"),
+            F.when(nn, F.xxhash64(F.col(bytes_col))).alias(a),
+            F.when(nn, F.crc32(F.col(bytes_col))).alias(b))
+
+    hj = (_h(dfd, "__h1", "__h2", hash_col)
+          .join(_h(ref, "__rh1", "__rh2", ref_hash_col), "__k", "left")
+          .select("__k", F.col("__h1").isNotNull().alias("__nn"),
+                  F.col("__rh1").isNotNull().alias("__has_ref"),
+                  ((F.col("__h1") == F.col("__rh1"))
+                   & (F.col("__h2") == F.col("__rh2"))).alias("__same")))
+    bad = F.col("__nn") & (~F.col("__has_ref")
+                           | ~F.coalesce(F.col("__same"), F.lit(False)))
+    hj = hj.withColumn("__bad", bad).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        agg = hj.agg(
+            F.count(F.lit(1)).alias("element"),
+            F.coalesce(F.sum(F.col("__nn").cast("int")), F.lit(0)).alias("nonnull"),
+            F.coalesce(F.sum(F.col("__bad").cast("int")), F.lit(0)).alias("u")).first()
+        element, nonnull = int(agg["element"]), int(agg["nonnull"])
+        unexpected = int(agg["u"])
+        samples: list = []
+        if unexpected and run.rf["result_format"] != "BOOLEAN_ONLY":
+            samples = [r["__k"] for r in hj.filter("__bad").select("__k")
+                       .limit(run._sample_limit()).collect()]
+    finally:
+        hj.unpersist()
+    evr = run._map_evr(item, element, nonnull, unexpected, samples)
+    if evr.result:
+        evr.result["details"] = {"strategy": "payload_hash_match",
+                                 "hash_column": hash_col}
+    return evr
+
+
 def run_header_item(run, item, dfd: DataFrame, grow: dict):
     """Engine hook: expect_audio_header_to_match_metadata — RIFF header
     sample rate must equal the sr_hz metadata column. Header-only parse (no

@@ -604,6 +604,8 @@ class ValidationRun:
             from .metrics import audio as audio_metrics
             if item.spec.extra.get("handler") == "header":
                 return audio_metrics.run_header_item(self, item, dfd, grow)
+            if item.spec.extra.get("handler") == "payload":
+                return audio_metrics.run_payload_item(self, item, dfd, grow)
             return audio_metrics.run_snr_item(self, item, dfd, grow)
         raise ValueError(handler_kind)
 

@@ -551,6 +551,35 @@ class TestProfileDrift:
         assert a.result["element_count"] == b.result["element_count"]
         assert a.success == b.success
 
+    def test_payload_match_counts_and_hash_column_parity(self, spark):
+        """expect_audio_payload_to_match_reference: prescreen-only byte
+        identity — counts match the closed form, and the stored-hash ingest
+        path returns the identical verdict with zero binary read."""
+        from pyspark.sql import functions as F
+        from sparkcheck.io import expected_payload_summary, generate_audio_clips
+        n = 3000
+        dirty = generate_audio_clips(spark, n, num_partitions=4)
+        clean = generate_audio_clips(spark, n, clean=True, num_partitions=4)
+        exp = expected_payload_summary(n)
+
+        def run(d, c, **kw):
+            suite = ExpectationSuite("pm").add(
+                "expect_audio_payload_to_match_reference",
+                reference_table="ref", **kw)
+            return validate(d, suite, tables={"ref": c}).results[0]
+        r = run(dirty, clean)
+        assert r.result["element_count"] == exp["element_count"]
+        assert r.result["unexpected_count"] == exp["unexpected_count"]
+        assert r.success == exp["success"]
+        assert r.result["details"]["strategy"] == "payload_hash_match"
+        dh = dirty.withColumn("payload_h", F.when(
+            F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+        ch = clean.withColumn("payload_h", F.when(
+            F.col("bytes").isNotNull(), F.xxhash64("bytes")))
+        r2 = run(dh, ch, hash_column="payload_h")
+        assert r2.result["unexpected_count"] == r.result["unexpected_count"]
+        assert r2.success == r.success
+
     def test_cross_run_evaluation_parameters(self, spark, tmp_path):
         """Reference URN-store mechanism, ours: yesterday's committed verdicts
         feed today's $PARAMETER kwargs (row-count equality across runs)."""
