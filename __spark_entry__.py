@@ -448,6 +448,142 @@ FROM w
 """
 
 
+def q_ge_pair_equal(spark, sf_dir):
+    """column_pair_values.equal: order status should propagate to line status
+    (reference column_pair_values_equal.py:40-43). Fails for most rows by
+    construction (statuses are letter-coded differently) — the point is the
+    count/success replay, not a green verdict."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return _counts_df(spark, _one(
+        spark, joined, "expect_column_pair_values_to_be_equal",
+        column_A="l_linestatus", column_B="o_orderstatus", mostly=0.2))
+
+
+_SQL_PAIR_EQUAL = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT (l.l_linestatus IS NOT DISTINCT FROM o.o_orderstatus)
+                AND NOT (l.l_linestatus IS NULL AND o.o_orderstatus IS NULL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       (count(*) FILTER (NOT (l.l_linestatus IS NULL AND o.o_orderstatus IS NULL))
+        - sum(CASE WHEN NOT (l.l_linestatus IS NOT DISTINCT FROM o.o_orderstatus)
+                   AND NOT (l.l_linestatus IS NULL AND o.o_orderstatus IS NULL)
+                   THEN 1 ELSE 0 END))
+         >= 0.2 * count(*) FILTER (NOT (l.l_linestatus IS NULL AND o.o_orderstatus IS NULL))
+         AS success
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_ge_pair_in_set(spark, sf_dir):
+    """column_pair_values.in_set (reference column_pair_values_in_set.py:77-92):
+    (returnflag, linestatus) must be one of the four legal TPC-H combos."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _counts_df(spark, _one(
+        spark, li, "expect_column_pair_values_to_be_in_set",
+        column_A="l_returnflag", column_B="l_linestatus",
+        value_pairs_set=[("N", "O"), ("N", "F"), ("A", "F"), ("R", "F")],
+        mostly=0.5))
+
+
+_SQL_PAIR_IN_SET = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT ((l_returnflag, l_linestatus) IN
+                     (('N','O'), ('N','F'), ('A','F'), ('R','F')))
+                AND NOT (l_returnflag IS NULL AND l_linestatus IS NULL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       (count(*) FILTER (NOT (l_returnflag IS NULL AND l_linestatus IS NULL))
+        - sum(CASE WHEN NOT ((l_returnflag, l_linestatus) IN
+                   (('N','O'), ('N','F'), ('A','F'), ('R','F')))
+                   AND NOT (l_returnflag IS NULL AND l_linestatus IS NULL)
+                   THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) FILTER (NOT (l_returnflag IS NULL AND l_linestatus IS NULL))
+         AS success
+FROM lineitem
+"""
+
+
+def q_ge_multicolumn_sum(spark, sf_dir):
+    """multicolumn_sum.equal (reference multicolumn_sum_equal.py:37-44):
+    COALESCE(tax,0)+COALESCE(discount,0) == 0.1. Double addition is evaluated
+    identically by Spark and DuckDB (same operand order, same width), so the
+    unexpected count replays exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _counts_df(spark, _one(
+        spark, li, "expect_multicolumn_sum_to_equal",
+        column_list=["l_tax", "l_discount"], sum_total=0.1, mostly=0.05))
+
+
+_SQL_MULTICOL_SUM = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT (coalesce(l_tax, 0) + coalesce(l_discount, 0) = 0.1)
+                AND NOT (l_tax IS NULL AND l_discount IS NULL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       (count(*) FILTER (NOT (l_tax IS NULL AND l_discount IS NULL))
+        - sum(CASE WHEN NOT (coalesce(l_tax, 0) + coalesce(l_discount, 0) = 0.1)
+                   AND NOT (l_tax IS NULL AND l_discount IS NULL)
+                   THEN 1 ELSE 0 END))
+         >= 0.05 * count(*) FILTER (NOT (l_tax IS NULL AND l_discount IS NULL))
+         AS success
+FROM lineitem
+"""
+
+
+def q_ge_select_unique_record(spark, sf_dir):
+    """select_column_values.unique_within_record (reference
+    select_column_values_unique_within_record.py:68-83): partkey, suppkey and
+    orderkey must be pairwise distinct within each row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _counts_df(spark, _one(
+        spark, li, "expect_select_column_values_to_be_unique_within_record",
+        column_list=["l_orderkey", "l_partkey", "l_suppkey"], mostly=0.5))
+
+
+_SQL_SELECT_UNIQUE_RECORD = """
+WITH f AS (
+  SELECT (l_orderkey IS NOT DISTINCT FROM l_partkey)
+         OR (l_orderkey IS NOT DISTINCT FROM l_suppkey)
+         OR (l_partkey IS NOT DISTINCT FROM l_suppkey) AS dup,
+         (l_orderkey IS NULL AND l_partkey IS NULL AND l_suppkey IS NULL) AS ign
+  FROM lineitem)
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN dup AND NOT ign THEN 1 ELSE 0 END) AS BIGINT)
+         AS unexpected_count,
+       (count(*) FILTER (NOT ign)
+        - sum(CASE WHEN dup AND NOT ign THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) FILTER (NOT ign) AS success
+FROM f
+"""
+
+
+def q_ge_compound_unique(spark, sf_dir):
+    """compound_columns.unique (reference compound_columns_unique.py:111-148):
+    (l_orderkey, l_linenumber) is the table's compound primary key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _counts_df(spark, _one(
+        spark, li, "expect_compound_columns_to_be_unique",
+        column_list=["l_orderkey", "l_linenumber"], mostly=0.9))
+
+
+_SQL_COMPOUND_UNIQUE = """
+WITH g AS (
+  SELECT count(*) AS c FROM lineitem
+  WHERE NOT (l_orderkey IS NULL AND l_linenumber IS NULL)
+  GROUP BY l_orderkey, l_linenumber)
+SELECT (SELECT count(*) FROM lineitem) AS element_count,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+         AS unexpected_count,
+       ((SELECT count(*) FROM lineitem
+         WHERE NOT (l_orderkey IS NULL AND l_linenumber IS NULL))
+        - coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0))
+         >= 0.9 * (SELECT count(*) FROM lineitem
+                   WHERE NOT (l_orderkey IS NULL AND l_linenumber IS NULL))
+         AS success
+FROM g
+"""
+
+
 def q_ge_json(spark, sf_dir):
     """column_values.json_parseable — try_parse_json, no Python UDF."""
     e = _t(spark, sf_dir, "events")
@@ -1003,6 +1139,47 @@ SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 5
 _STOP_EN = "('the','a','of','and','to','in','is')"
 
 
+def q_sim_lsh_hyperplane(spark, sf_dir):
+    """Sign-random-projection LSH ANN (Charikar STOC 2002): 16-bit signature,
+    4 bands of 4 bits; candidates share >=1 full band with the query; exact
+    cosine re-rank, top-10."""
+    from sparkcheck.pipeline.similarity import (hyperplane_lsh_topk,
+                                                make_hyperplanes)
+    e = _t(spark, sf_dir, "embeddings")
+    planes = make_hyperplanes(64, 16, seed=42)
+    return hyperplane_lsh_topk(e, e.filter(F.col("vec_id") == 0),
+                               planes=planes, n_bands=4, k=10)
+
+
+def _sim_lsh_sql() -> str:
+    """Oracle replays the exact signature arithmetic: same rounded-dot sign
+    bits (identical plane literals), same band split, same cosine re-rank."""
+    from sparkcheck.pipeline.similarity import make_hyperplanes
+    planes = make_hyperplanes(64, 16, seed=42)
+    bit_terms = []
+    for j, p in enumerate(planes):
+        arr = "[" + ",".join(repr(c) for c in p) + "]::DOUBLE[]"
+        bit_terms.append(
+            f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], {arr}), 6)"
+            f" >= 0 THEN {1 << j} ELSE 0 END)")
+    sig = " + ".join(bit_terms)
+    bands = " OR ".join(
+        f"((s.sig >> {b * 4}) & 15) = ((q.qsig >> {b * 4}) & 15)"
+        for b in range(4))
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+q AS (SELECT embedding AS qe, sig AS qsig FROM sig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id, s.embedding, q.qe FROM sig s, q WHERE {bands}),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+               / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                      * list_dot_product(qe::DOUBLE[], qe::DOUBLE[])), 6) AS sim
+  FROM cand)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def q_text_tokens(spark, sf_dir):
     """Token counting per language (integer outputs — exact parity)."""
     d = _t(spark, sf_dir, "documents")
@@ -1546,6 +1723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ge_zscore": q_ge_zscore,
         "ge_referential": q_ge_referential,
         "ge_pair_greater": q_ge_pair_greater,
+        "ge_pair_equal": q_ge_pair_equal,
+        "ge_pair_in_set": q_ge_pair_in_set,
+        "ge_multicolumn_sum": q_ge_multicolumn_sum,
+        "ge_select_unique_record": q_ge_select_unique_record,
+        "ge_compound_unique": q_ge_compound_unique,
         "ge_increasing": q_ge_increasing,
         "ge_json": q_ge_json,
         "ge_rowcount": q_ge_rowcount,
@@ -1569,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": q_sim_topk,
         "sim_ivf_label": q_sim_ivf,
         "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
+        "sim_lsh_hyperplane": q_sim_lsh_hyperplane,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1601,6 +1784,11 @@ def oracle_sql() -> dict[str, str]:
         "ge_zscore": _SQL_ZSCORE,
         "ge_referential": _SQL_REFERENTIAL,
         "ge_pair_greater": _SQL_PAIR_GREATER,
+        "ge_pair_equal": _SQL_PAIR_EQUAL,
+        "ge_pair_in_set": _SQL_PAIR_IN_SET,
+        "ge_multicolumn_sum": _SQL_MULTICOL_SUM,
+        "ge_select_unique_record": _SQL_SELECT_UNIQUE_RECORD,
+        "ge_compound_unique": _SQL_COMPOUND_UNIQUE,
         "ge_increasing": _SQL_INCREASING,
         "ge_json": _SQL_JSON,
         "ge_rowcount": _SQL_ROWCOUNT,
@@ -1624,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": _SQL_SIM_TOPK,
         "sim_ivf_label": _SQL_SIM_IVF,
         "sim_ivf_multiprobe": _SQL_SIM_IVF_MULTIPROBE,
+        "sim_lsh_hyperplane": _sim_lsh_sql(),
         "text_tokens": _SQL_TEXT_TOKENS,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_TEXT_LANGID,

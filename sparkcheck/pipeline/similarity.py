@@ -133,3 +133,80 @@ def ivf_topk_multiprobe(df: DataFrame, query: DataFrame, *,
     return (scored.select(id_col, "sim")
             .orderBy(F.desc("sim"), F.col(id_col))
             .limit(k))
+
+
+def make_hyperplanes(dim: int, n_planes: int, *, seed: int = 42,
+                     round_digits: int = 6) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-random-projection LSH
+    (Charikar, STOC 2002). Rounded so the same literals embed bit-identically
+    in Spark expressions and oracle SQL."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    h = rng.standard_normal((n_planes, dim))
+    return [[round(float(v), round_digits) for v in row] for row in h]
+
+
+def hyperplane_signature(df: DataFrame, planes: list[list[float]], *,
+                         vec_col: str = "embedding",
+                         out_col: str = "sig",
+                         round_digits: int = 6) -> DataFrame:
+    """Append the n-bit sign signature: bit j = 1 iff dot(vec, plane_j) >= 0.
+    Map-side only (no shuffle); each dot is a codegen'd Catalyst fold over the
+    array. The dot is ROUNDED before the sign test so the bit is reproducible
+    across engines/summation widths (ties at exactly 0 count as positive,
+    matching SQL `>= 0`)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{c}D" for c in plane) + ")"
+        dot = F.round(F.expr(_DOT.format(a=vec_col, b=arr)), round_digits)
+        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.withColumn(out_col, sig.cast("bigint"))
+
+
+def hyperplane_lsh_topk(df: DataFrame, query: DataFrame, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        planes: list[list[float]] | None = None,
+                        n_planes: int = 16, n_bands: int = 4,
+                        k: int = 10, round_digits: int = 6,
+                        seed: int = 42) -> DataFrame:
+    """ANN via banded sign-random-projection LSH: a vector is a candidate iff
+    it agrees with the query on ALL bits of at least one band (n_bands bands
+    of n_planes/n_bands bits). Exact cosine re-ranks the candidates.
+
+    Scale shape: signatures are map-side; the query's band values are a
+    broadcast of n_bands rows, so candidate generation is a broadcast
+    semi-join — no shuffle of the corpus. At 100 TB the signature (or the
+    exploded (band, band_val) index) is precomputed and stored sorted/bucketed
+    by band value, making the probe a partition-pruned lookup; recall is dialed
+    by n_bands (more bands -> more candidates) exactly like LSH band theory
+    for minhash. Candidates are distinct'd before the exact re-rank, so the
+    expensive cosine runs once per candidate."""
+    if planes is None:
+        dim = len(df.select(vec_col).head()[0])
+        planes = make_hyperplanes(dim, n_planes, seed=seed,
+                                  round_digits=round_digits)
+    width = len(planes) // n_bands
+    mask = (1 << width) - 1
+    sig = hyperplane_signature(df, planes, vec_col=vec_col,
+                               round_digits=round_digits)
+    qsig = hyperplane_signature(query, planes, vec_col=vec_col,
+                                round_digits=round_digits)
+    band_vals = F.array(*[
+        F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(n_bands)])
+    corpus = sig.select(F.col(id_col), F.col(vec_col),
+                        F.posexplode(band_vals).alias("band", "bval"))
+    qbands = F.broadcast(
+        qsig.select(F.col(vec_col).alias("__qvec"),
+                    F.posexplode(band_vals).alias("band", "bval")))
+    cand = (corpus.join(qbands, ["band", "bval"])
+            .select(id_col, vec_col, "__qvec")
+            .dropDuplicates([id_col]))
+    scored = _with_cosine(cand, vec_col, "__qvec")
+    scored = scored.withColumn("sim", F.round(F.col("cosine"), round_digits))
+    return (scored.select(id_col, "sim")
+            .orderBy(F.desc("sim"), F.col(id_col))
+            .limit(k))

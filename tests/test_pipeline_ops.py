@@ -172,6 +172,45 @@ class TestMultiProbeIVF:
         full = pairwise_topk_per_cell(df, k=2, max_cell_size=None)
         assert {r["id_a"] for r in full.collect()} > got
 
+    def test_hyperplane_lsh_candidates_and_recall(self, spark):
+        """Banded sign-LSH: the query itself (all bits agree -> every band
+        matches) must always be recovered, and n_bands is the recall dial —
+        widening bands (4x4) prunes hard, narrowing them (8x2) approaches
+        exact top-k. On i.i.d. Gaussian vectors the 'neighbors' are barely
+        above random, so the wide-band recall is intentionally NOT asserted —
+        only the dial's monotone behavior and top-1 correctness."""
+        from sparkcheck.pipeline.similarity import (cosine_topk,
+                                                    hyperplane_lsh_topk,
+                                                    hyperplane_signature,
+                                                    make_hyperplanes)
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") == 0)
+        planes = make_hyperplanes(64, 16, seed=42)
+        exact = [r["vec_id"] for r in cosine_topk(e, q, k=10).collect()]
+        lsh4 = [r["vec_id"] for r in
+                hyperplane_lsh_topk(e, q, planes=planes, n_bands=4, k=10).collect()]
+        assert lsh4[0] == exact[0] == 0  # query itself: all 16 bits agree
+        assert len(set(lsh4) & set(exact)) >= 1
+        lsh8 = [r["vec_id"] for r in
+                hyperplane_lsh_topk(e, q, planes=planes, n_bands=8, k=10).collect()]
+        assert len(set(lsh8) & set(exact)) >= 8  # narrow bands ~ exact
+        assert len(set(lsh8) & set(exact)) >= len(set(lsh4) & set(exact))
+        sigs = hyperplane_signature(e, planes).select("sig").distinct().count()
+        assert sigs > 1  # signatures spread -> a full-signature probe prunes
+
+    def test_hyperplane_signature_deterministic(self, spark):
+        from sparkcheck.pipeline.similarity import (hyperplane_signature,
+                                                    make_hyperplanes)
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        planes = make_hyperplanes(64, 8, seed=7)
+        a = {(r["vec_id"], r["sig"]) for r in
+             hyperplane_signature(e, planes).select("vec_id", "sig").collect()}
+        b = {(r["vec_id"], r["sig"]) for r in
+             hyperplane_signature(e.repartition(13), planes)
+             .select("vec_id", "sig").collect()}
+        assert a == b
+        assert all(0 <= s < 256 for _, s in a)
+
     def test_cell_centroids(self, spark):
         from sparkcheck.pipeline.similarity import cell_centroids
         df = spark.createDataFrame(
