@@ -1,5 +1,10 @@
 """Audio feature extraction over opaque binary columns (multimodal pipeline).
 
+When materializing these over parquet-stored payloads, wrap the action in
+``sparkcheck.metrics.audio.payload_batch_guard`` — it bounds the vectorized
+reader's columnar batches by bytes instead of Spark's row-count default,
+which anti-scales on wide binary columns at high parallelism.
+
 All operators are Arrow-batched `mapInPandas` over the (clip_id, bytes, ...)
 table — no per-row Python UDFs, no driver collection. WAV/PCM16 decode is real
 (sparkcheck.metrics.audio.decode_pcm); compressed codecs are stubbed behind

@@ -762,3 +762,45 @@ class TestUrnParameters:
         # and the same URN suite fails when the table shrinks
         assert not validate(clips.limit(2000), s2,
                             evaluation_parameters=params).results[0].success
+
+
+class TestPayloadBatchGuard:
+    """payload_batch_guard bounds parquet columnar batches by bytes for
+    binary-scan actions: Spark's 4096-ROW default builds ~256 MB batches from
+    64 KB payloads and anti-scales at high parallelism (GC thrash)."""
+
+    CONF = "spark.sql.parquet.columnarReaderBatchSize"
+
+    def test_sets_and_restores_when_unset(self, spark):
+        from sparkcheck.metrics.audio import payload_batch_guard
+        assert spark.conf.get(self.CONF, None) is None
+        with payload_batch_guard(spark, 256):
+            assert spark.conf.get(self.CONF) == "256"
+        assert spark.conf.get(self.CONF, None) is None
+
+    def test_restores_prior_value_even_on_error(self, spark):
+        from sparkcheck.metrics.audio import payload_batch_guard
+        spark.conf.set(self.CONF, "1024")
+        try:
+            with pytest.raises(RuntimeError):
+                with payload_batch_guard(spark, 128):
+                    assert spark.conf.get(self.CONF) == "128"
+                    raise RuntimeError("boom")
+            assert spark.conf.get(self.CONF) == "1024"
+        finally:
+            spark.conf.unset(self.CONF)
+
+    def test_none_disables(self, spark):
+        from sparkcheck.metrics.audio import payload_batch_guard
+        with payload_batch_guard(spark, None):
+            assert spark.conf.get(self.CONF, None) is None
+
+    def test_snr_item_scoped_not_leaked(self, spark, clips, ref):
+        """The SNR run uses the guard internally and must leave the session
+        conf untouched afterwards."""
+        from sparkcheck import ExpectationSuite, validate
+        suite = ExpectationSuite("g").add(
+            "expect_audio_snr_vs_reference_to_be_above",
+            reference_table="ref", min_snr_db=30.0, mostly=0.5)
+        validate(clips, suite, tables={"ref": ref})
+        assert spark.conf.get(self.CONF, None) is None
