@@ -187,6 +187,32 @@ def payload_batch_guard(spark, batch_rows: int | None = 256):
             conf.set(_CRBS, old)
 
 
+_ARB = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def arrow_batch_guard(spark, batch_rows: int | None = 256):
+    """Bound Arrow transfer batches by bytes for payload-decoding actions.
+    Spark's default is 10,000 ROWS per Arrow batch; with ~64 KB payloads on
+    BOTH sides of the decode join that is a ~1.3 GB batch per concurrent
+    python worker — measured 3x slowdown from memory thrash (bench/scaling.py
+    r2). 256 rows ~ 32 MB per batch. Same scoped set/restore contract as
+    payload_batch_guard."""
+    if not batch_rows:
+        yield
+        return
+    conf = spark.conf
+    old = conf.get(_ARB, None)
+    conf.set(_ARB, str(int(batch_rows)))
+    try:
+        yield
+    finally:
+        if old is None:
+            conf.unset(_ARB)
+        else:
+            conf.set(_ARB, old)
+
+
 def salted_repartition(df: DataFrame, hot_key: str, n_salts: int = 16,
                        num_partitions: int | None = None) -> DataFrame:
     """Break codec/sr_hz hot keys (fixture: 80% of rows are codec='wav') by
@@ -319,7 +345,9 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
         proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             with payload_batch_guard(dfd.sparkSession,
-                                     kw.get("payload_batch_rows", 256)):
+                                     kw.get("payload_batch_rows", 256)), \
+                 arrow_batch_guard(dfd.sparkSession,
+                                   kw.get("arrow_batch_rows", 256)):
                 agg = proj.agg(
                     F.count(F.lit(1)).alias("element"),
                     F.coalesce(F.sum(F.when(F.col("__nn2"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),
@@ -451,7 +479,9 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
                                  "__snr_db")
             proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
             try:
-                with payload_batch_guard(dfd.sparkSession, scan_rows):
+                with payload_batch_guard(dfd.sparkSession, scan_rows), \
+                     arrow_batch_guard(dfd.sparkSession,
+                                       kw.get("arrow_batch_rows", 256)):
                     a2 = proj.agg(
                         F.coalesce(F.sum(F.when(F.col("__bad"), 1).otherwise(0)), F.lit(0)).alias("u"),
                         F.avg("__snr_db").alias("mean_snr")).first()
@@ -581,7 +611,9 @@ def run_header_item(run, item, dfd: DataFrame, grow: dict):
     proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         with payload_batch_guard(dfd.sparkSession,
-                                 kw.get("payload_batch_rows", 256)):
+                                 kw.get("payload_batch_rows", 256)), \
+             arrow_batch_guard(dfd.sparkSession,
+                               kw.get("arrow_batch_rows", 256)):
             agg = proj.agg(
                 F.count(F.lit(1)).alias("element"),
                 F.coalesce(F.sum(F.when(F.col("__nn"), 1).otherwise(0)), F.lit(0)).alias("nonnull"),

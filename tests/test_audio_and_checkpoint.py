@@ -804,3 +804,23 @@ class TestPayloadBatchGuard:
             reference_table="ref", min_snr_db=30.0, mostly=0.5)
         validate(clips, suite, tables={"ref": ref})
         assert spark.conf.get(self.CONF, None) is None
+
+    def test_arrow_guard_sets_and_restores(self, spark):
+        from sparkcheck.metrics.audio import arrow_batch_guard
+        conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prior = spark.conf.get(conf, None)
+        with arrow_batch_guard(spark, 256):
+            assert spark.conf.get(conf) == "256"
+        assert spark.conf.get(conf, None) == prior
+
+    def test_full_decode_leaves_confs_untouched(self, spark, clips, ref):
+        from sparkcheck import ExpectationSuite, validate
+        arrow_conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prior = spark.conf.get(arrow_conf, None)
+        suite = ExpectationSuite("fd").add(
+            "expect_audio_snr_vs_reference_to_be_above",
+            reference_table="ref", min_snr_db=30.0, mostly=0.5,
+            hash_prescreen=False)
+        validate(clips, suite, tables={"ref": ref})
+        assert spark.conf.get(arrow_conf, None) == prior
+        assert spark.conf.get(self.CONF, None) is None
