@@ -488,19 +488,24 @@ def q_ge_pair_in_set(spark, sf_dir):
 
 
 _SQL_PAIR_IN_SET = """
+-- null-safe pair membership: the engine tests each set pair with eqNullSafe,
+-- so a half-null pair matches nothing and counts unexpected; a row-value IN
+-- would return NULL there and silently drop the row from the count
+WITH f AS (
+  SELECT ((l_returnflag IS NOT DISTINCT FROM 'N' AND l_linestatus IS NOT DISTINCT FROM 'O')
+       OR (l_returnflag IS NOT DISTINCT FROM 'N' AND l_linestatus IS NOT DISTINCT FROM 'F')
+       OR (l_returnflag IS NOT DISTINCT FROM 'A' AND l_linestatus IS NOT DISTINCT FROM 'F')
+       OR (l_returnflag IS NOT DISTINCT FROM 'R' AND l_linestatus IS NOT DISTINCT FROM 'F'))
+         AS ok,
+         (l_returnflag IS NULL AND l_linestatus IS NULL) AS ign
+  FROM lineitem)
 SELECT count(*) AS element_count,
-       CAST(sum(CASE WHEN NOT ((l_returnflag, l_linestatus) IN
-                     (('N','O'), ('N','F'), ('A','F'), ('R','F')))
-                AND NOT (l_returnflag IS NULL AND l_linestatus IS NULL)
-                THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
-       (count(*) FILTER (NOT (l_returnflag IS NULL AND l_linestatus IS NULL))
-        - sum(CASE WHEN NOT ((l_returnflag, l_linestatus) IN
-                   (('N','O'), ('N','F'), ('A','F'), ('R','F')))
-                   AND NOT (l_returnflag IS NULL AND l_linestatus IS NULL)
-                   THEN 1 ELSE 0 END))
-         >= 0.5 * count(*) FILTER (NOT (l_returnflag IS NULL AND l_linestatus IS NULL))
-         AS success
-FROM lineitem
+       CAST(sum(CASE WHEN NOT ok AND NOT ign THEN 1 ELSE 0 END) AS BIGINT)
+         AS unexpected_count,
+       (count(*) FILTER (NOT ign)
+        - sum(CASE WHEN NOT ok AND NOT ign THEN 1 ELSE 0 END))
+         >= 0.5 * count(*) FILTER (NOT ign) AS success
+FROM f
 """
 
 
@@ -567,6 +572,10 @@ def q_ge_compound_unique(spark, sf_dir):
 
 
 _SQL_COMPOUND_UNIQUE = """
+-- domain filter matches the reference default ignore_row_if =
+-- 'all_values_are_missing': only rows where EVERY key column is null are
+-- excluded; partially-null keys participate (GROUP BY groups nulls together
+-- in both Spark and DuckDB)
 WITH g AS (
   SELECT count(*) AS c FROM lineitem
   WHERE NOT (l_orderkey IS NULL AND l_linenumber IS NULL)

@@ -23,6 +23,7 @@ salting hooks for the codec/sr_hz hot keys (see salted_repartition below).
 from __future__ import annotations
 
 import io
+import threading
 import wave
 from contextlib import contextmanager
 
@@ -154,9 +155,37 @@ def make_snr_udf(strict_codecs: bool = False):
 
 
 _CRBS = "spark.sql.parquet.columnarReaderBatchSize"
+_ARB = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+# Conf overrides are session-global, so two concurrent payload actions on the
+# same SparkSession would clobber each other's set/restore pairs and could
+# leak the small-batch override onto narrow scans. A reentrant module lock
+# serializes guarded actions (reentrant because the decode path nests the
+# columnar and Arrow guards in one thread).
+_GUARD_LOCK = threading.RLock()
 
 
 @contextmanager
+def _scoped_conf(spark, conf_key: str, batch_rows: int | None):
+    """Set a session conf for the duration of an action and restore it after,
+    holding `_GUARD_LOCK` so concurrent guarded actions cannot interleave
+    their set/restore pairs. ``batch_rows=None`` disables the override."""
+    if not batch_rows:
+        yield
+        return
+    with _GUARD_LOCK:
+        conf = spark.conf
+        old = conf.get(conf_key, None)
+        conf.set(conf_key, str(int(batch_rows)))
+        try:
+            yield
+        finally:
+            if old is None:
+                conf.unset(conf_key)
+            else:
+                conf.set(conf_key, old)
+
+
 def payload_batch_guard(spark, batch_rows: int | None = 256):
     """Bound the vectorized parquet reader's columnar batch by BYTES, not rows,
     for the duration of binary-column scan actions.
@@ -172,25 +201,9 @@ def payload_batch_guard(spark, batch_rows: int | None = 256):
     only add per-batch overhead there), which is why this is a scoped guard
     around payload-reading actions rather than a session-wide setting.
     ``batch_rows=None`` disables the override."""
-    if not batch_rows:
-        yield
-        return
-    conf = spark.conf
-    old = conf.get(_CRBS, None)
-    conf.set(_CRBS, str(int(batch_rows)))
-    try:
-        yield
-    finally:
-        if old is None:
-            conf.unset(_CRBS)
-        else:
-            conf.set(_CRBS, old)
+    return _scoped_conf(spark, _CRBS, batch_rows)
 
 
-_ARB = "spark.sql.execution.arrow.maxRecordsPerBatch"
-
-
-@contextmanager
 def arrow_batch_guard(spark, batch_rows: int | None = 256):
     """Bound Arrow transfer batches by bytes for payload-decoding actions.
     Spark's default is 10,000 ROWS per Arrow batch; with ~64 KB payloads on
@@ -198,19 +211,40 @@ def arrow_batch_guard(spark, batch_rows: int | None = 256):
     python worker — measured 3x slowdown from memory thrash (bench/scaling.py
     r2). 256 rows ~ 32 MB per batch. Same scoped set/restore contract as
     payload_batch_guard."""
-    if not batch_rows:
-        yield
-        return
-    conf = spark.conf
-    old = conf.get(_ARB, None)
-    conf.set(_ARB, str(int(batch_rows)))
-    try:
-        yield
-    finally:
-        if old is None:
-            conf.unset(_ARB)
-        else:
-            conf.set(_ARB, old)
+    return _scoped_conf(spark, _ARB, batch_rows)
+
+
+def hash_prescreen_join(dfd: DataFrame, ref: DataFrame, key: str,
+                        bytes_col: str, hash_col: str | None,
+                        ref_hash_col: str | None) -> DataFrame:
+    """Shared hash-prescreen join for the SNR and payload-match expectations:
+    returns (__k, __nn, __has_ref, __same) per dirty-side row.
+
+    Hash slots per side: a stored hash column fills both slots; a computed
+    side uses xxhash64+crc32 (96 combined bits). When exactly ONE side has a
+    stored hash the computed side uses xxhash64 in BOTH slots — comparing
+    crc32 against a stored xxhash64 would mismatch every row and turn the
+    prescreen into a false-failure (payload match) or a full decode (SNR).
+    Asymmetric use therefore requires the stored column to be
+    ``xxhash64(bytes)`` (null iff the payload is null), which is the
+    documented ingest contract."""
+    asym = bool(hash_col) != bool(ref_hash_col)
+
+    def _side(src, a, b, stored):
+        if stored:
+            return src.select(F.col(key).alias("__k"),
+                              F.col(stored).alias(a), F.col(stored).alias(b))
+        nn = F.col(bytes_col).isNotNull()
+        h1 = F.when(nn, F.xxhash64(F.col(bytes_col)))
+        h2 = h1 if asym else F.when(nn, F.crc32(F.col(bytes_col)))
+        return src.select(F.col(key).alias("__k"), h1.alias(a), h2.alias(b))
+
+    return (_side(dfd, "__h1", "__h2", hash_col)
+            .join(_side(ref, "__rh1", "__rh2", ref_hash_col), "__k", "left")
+            .select("__k", F.col("__h1").isNotNull().alias("__nn"),
+                    F.col("__rh1").isNotNull().alias("__has_ref"),
+                    ((F.col("__h1") == F.col("__rh1"))
+                     & (F.col("__h2") == F.col("__rh2"))).alias("__same")))
 
 
 def salted_repartition(df: DataFrame, hot_key: str, n_salts: int = 16,
@@ -379,25 +413,7 @@ def run_snr_item(run, item, dfd: DataFrame, grow: dict):
     # the audio). The stored hash must be null iff the payload is null.
     hash_col = kw.get("hash_column")
     ref_hash_col = kw.get("ref_hash_column", hash_col)
-
-    def _hashes(src, h1, h2, stored):
-        if stored:
-            return src.select(
-                F.col(key).alias("__k"),
-                F.col(stored).alias(h1), F.col(stored).alias(h2))
-        nn = F.col(bytes_col).isNotNull()
-        return src.select(
-            F.col(key).alias("__k"),
-            F.when(nn, F.xxhash64(F.col(bytes_col))).alias(h1),
-            F.when(nn, F.crc32(F.col(bytes_col))).alias(h2))
-
-    h_l = _hashes(dfd, "__h1", "__h2", hash_col)
-    h_r = _hashes(ref, "__rh1", "__rh2", ref_hash_col)
-    hj = h_l.join(h_r, "__k", "left").select(
-        "__k", F.col("__h1").isNotNull().alias("__nn"),
-        F.col("__rh1").isNotNull().alias("__has_ref"),
-        ((F.col("__h1") == F.col("__rh1"))
-         & (F.col("__h2") == F.col("__rh2"))).alias("__same"))
+    hj = hash_prescreen_join(dfd, ref, key, bytes_col, hash_col, ref_hash_col)
     hj = hj.persist(StorageLevel.MEMORY_AND_DISK)
     n_mismatch = 0
     mean_mismatch_snr = None
@@ -537,23 +553,7 @@ def run_payload_item(run, item, dfd: DataFrame, grow: dict):
     ref = run.tables[kw["reference_table"]]
     hash_col = kw.get("hash_column")
     ref_hash_col = kw.get("ref_hash_column", hash_col)
-
-    def _h(src, a, b, stored):
-        if stored:
-            return src.select(F.col(key).alias("__k"),
-                              F.col(stored).alias(a), F.col(stored).alias(b))
-        nn = F.col(bytes_col).isNotNull()
-        return src.select(
-            F.col(key).alias("__k"),
-            F.when(nn, F.xxhash64(F.col(bytes_col))).alias(a),
-            F.when(nn, F.crc32(F.col(bytes_col))).alias(b))
-
-    hj = (_h(dfd, "__h1", "__h2", hash_col)
-          .join(_h(ref, "__rh1", "__rh2", ref_hash_col), "__k", "left")
-          .select("__k", F.col("__h1").isNotNull().alias("__nn"),
-                  F.col("__rh1").isNotNull().alias("__has_ref"),
-                  ((F.col("__h1") == F.col("__rh1"))
-                   & (F.col("__h2") == F.col("__rh2"))).alias("__same")))
+    hj = hash_prescreen_join(dfd, ref, key, bytes_col, hash_col, ref_hash_col)
     bad = F.col("__nn") & (~F.col("__has_ref")
                            | ~F.coalesce(F.col("__same"), F.lit(False)))
     hj = hj.withColumn("__bad", bad).persist(StorageLevel.MEMORY_AND_DISK)

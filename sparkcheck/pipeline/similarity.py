@@ -188,6 +188,11 @@ def hyperplane_lsh_topk(df: DataFrame, query: DataFrame, *,
         dim = len(df.select(vec_col).head()[0])
         planes = make_hyperplanes(dim, n_planes, seed=seed,
                                   round_digits=round_digits)
+    if len(planes) % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide the plane count {len(planes)}: "
+            "truncated band width would silently ignore the high signature "
+            "bits and lower recall below what the signature pays for")
     width = len(planes) // n_bands
     mask = (1 << width) - 1
     sig = hyperplane_signature(df, planes, vec_col=vec_col,

@@ -686,7 +686,14 @@ class ValidationRun:
                 return ExpectationValidationResult(
                     success=bool(success), expectation_config=item.config, result=result)
 
-        nn = C.multicolumn_domain_filter({"column_list": cols, "ignore_row_if": "any_value_is_missing"}) \
+        # reference default is all_values_are_missing
+        # (expect_compound_columns_to_be_unique.py:35): partially-null keys
+        # DO participate in dup grouping (nulls group together). Must match
+        # the fused nonnull slot's filter (planner.py) or the mostly
+        # denominator and the dup scan would disagree on partially-null rows.
+        nn = C.multicolumn_domain_filter(
+            {"column_list": cols,
+             "ignore_row_if": kw.get("ignore_row_if", "all_values_are_missing")}) \
             if compound else F.col(cols[0]).isNotNull()
         vc = dfd.filter(nn).groupBy(*cols).agg(F.count(F.lit(1)).alias("__cnt"))
         dup = vc.filter(F.col("__cnt") > 1)

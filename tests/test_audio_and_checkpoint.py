@@ -580,6 +580,25 @@ class TestProfileDrift:
         assert r2.result["unexpected_count"] == r.result["unexpected_count"]
         assert r2.success == r.success
 
+    def test_payload_match_asymmetric_stored_hash(self, spark):
+        """Only ONE side carries a stored hash (xxhash64 ingest contract):
+        the computed side must hash with xxhash64 alone — comparing crc32
+        against a stored xxhash64 would flag every row and turn a
+        byte-identical corpus into a false failure."""
+        from pyspark.sql import functions as F
+        from sparkcheck.io import generate_audio_clips
+        n = 1000
+        clips = generate_audio_clips(spark, n, clean=True, num_partitions=2)
+        ref = (generate_audio_clips(spark, n, clean=True, num_partitions=2)
+               .withColumn("payload_h", F.when(
+                   F.col("bytes").isNotNull(), F.xxhash64("bytes"))))
+        suite = ExpectationSuite("pm").add(
+            "expect_audio_payload_to_match_reference",
+            reference_table="ref", ref_hash_column="payload_h")
+        r = validate(clips, suite, tables={"ref": ref}).results[0]
+        assert r.result["unexpected_count"] == 0
+        assert r.success
+
     def test_cross_run_evaluation_parameters(self, spark, tmp_path):
         """Reference URN-store mechanism, ours: yesterday's committed verdicts
         feed today's $PARAMETER kwargs (row-count equality across runs)."""

@@ -126,6 +126,24 @@ class TestMapExpectations:
         assert not r.success
         assert r.result["unexpected_count"] == 2  # ("2",1) twice
 
+    def test_compound_unique_partial_null_keys(self, spark):
+        """Reference default ignore_row_if='all_values_are_missing'
+        (expect_compound_columns_to_be_unique.py:35): only all-null key rows
+        are excluded; partially-null keys participate and nulls group
+        together, so two (5, NULL) rows are a duplicate pair."""
+        df = spark.createDataFrame(
+            [(5, None), (5, None), (6, 1), (None, None)], "a int, b int")
+        r = one(df, "expect_compound_columns_to_be_unique",
+                column_list=["a", "b"])
+        assert not r.success
+        assert r.result["element_count"] == 4
+        assert r.result["unexpected_count"] == 2  # the (5, NULL) pair
+        # any_value_is_missing opt-in drops the partially-null rows entirely
+        r2 = one(df, "expect_compound_columns_to_be_unique",
+                 column_list=["a", "b"], ignore_row_if="any_value_is_missing")
+        assert r2.success
+        assert r2.result["unexpected_count"] == 0
+
     def test_increasing(self, spark):
         df = spark.createDataFrame([(1,), (2,), (2,), (1,)], "v int") \
             .coalesce(1)

@@ -197,6 +197,9 @@ class TestMultiProbeIVF:
         assert len(set(lsh8) & set(exact)) >= len(set(lsh4) & set(exact))
         sigs = hyperplane_signature(e, planes).select("sig").distinct().count()
         assert sigs > 1  # signatures spread -> a full-signature probe prunes
+        with pytest.raises(ValueError, match="must divide"):
+            # truncated band width would silently drop the high bits
+            hyperplane_lsh_topk(e, q, planes=planes, n_bands=3, k=10)
 
     def test_hyperplane_signature_deterministic(self, spark):
         from sparkcheck.pipeline.similarity import (hyperplane_signature,
