@@ -20,8 +20,11 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+try:  # oracle_sql() must be buildable in a pyspark-free DuckDB evaluator
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+except ImportError:  # pragma: no cover — only hit in the oracle environment
+    DataFrame = SparkSession = F = None  # type: ignore[assignment]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -1163,7 +1166,7 @@ def q_sim_lsh_hyperplane(spark, sf_dir):
 def _sim_lsh_sql() -> str:
     """Oracle replays the exact signature arithmetic: same rounded-dot sign
     bits (identical plane literals), same band split, same cosine re-rank."""
-    from sparkcheck.pipeline.similarity import make_hyperplanes
+    from sparkcheck.fixture_math import make_hyperplanes
     planes = make_hyperplanes(64, 16, seed=42)
     bit_terms = []
     for j, p in enumerate(planes):
@@ -1836,15 +1839,16 @@ def _audio_oracle_sql() -> dict[str, str]:
     """Literal-value oracles for the audio queries. The fixture injects every
     violation at fixed index arithmetic (sparkcheck/io.py FIXTURES.md §4), so
     the expected outputs are computable in closed form by an independent
-    numpy replay (sparkcheck.io.expected_* — single-process, no Spark, no WAV
-    container round-trip). The SQL is pure literals: DuckDB evaluates the
-    expected values; Spark runs the real distributed decode/join/aggregate."""
-    from sparkcheck.io import (expected_features_summary,
-                               expected_frame_rms_summary,
-                               expected_header_summary,
-                               expected_partition_verdicts,
-                               expected_payload_summary,
-                               expected_snr_summary)
+    numpy replay (sparkcheck.fixture_math.expected_* — single-process,
+    numpy-only, importable WITHOUT pyspark, no WAV container round-trip).
+    The SQL is pure literals: DuckDB evaluates the expected values; Spark
+    runs the real distributed decode/join/aggregate."""
+    from sparkcheck.fixture_math import (expected_features_summary,
+                                         expected_frame_rms_summary,
+                                         expected_header_summary,
+                                         expected_partition_verdicts,
+                                         expected_payload_summary,
+                                         expected_snr_summary)
 
     def counts_sql(s: dict) -> str:
         return (f"SELECT CAST({s['element_count']} AS BIGINT) AS element_count, "

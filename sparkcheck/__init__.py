@@ -6,42 +6,58 @@ metric in a suite compiles into slots of ONE fused DataFrame aggregation per
 domain (SURVEY.md §4), per-partition verdicts via rollup, sketches
 (HLL++/percentile_approx) as distributed aggregates, and Arrow pandas UDFs
 for per-row audio invariants. No reference code is copied.
+
+The package `__init__` is LAZY (PEP 562 module __getattr__): importing a
+pyspark-free submodule (`sparkcheck.fixture_math`, `sparkcheck.metrics.
+sketches`) must not import pyspark, so the driver's DuckDB-only oracle
+evaluator can build `__spark_entry__.oracle_sql()` without a Spark install
+(VERDICT r3 item 1). `from sparkcheck import validate` etc. still works —
+the attribute access triggers the real import on first use.
 """
 
-from . import splitters
-from .checkpoint import Checkpoint, run_checkpoint
-from .io import read_table, read_table_delta, snapshots, write_table
-from .profiler import build_reference_profile, suite_from_profile
-from .runner import ValidationRun, resolve_evaluation_parameters, validate
-from .streaming import StreamValidator, validate_stream
-from .types import (
-    ExpectationConfiguration,
-    ExpectationSuite,
-    ExpectationSuiteValidationResult,
-    ExpectationValidationResult,
-)
-from .validator import Validator
+from __future__ import annotations
 
 __version__ = "0.1.0"
 
-__all__ = [
-    "Checkpoint",
-    "ExpectationConfiguration",
-    "ExpectationSuite",
-    "ExpectationSuiteValidationResult",
-    "ExpectationValidationResult",
-    "StreamValidator",
-    "ValidationRun",
-    "Validator",
-    "build_reference_profile",
-    "read_table",
-    "read_table_delta",
-    "resolve_evaluation_parameters",
-    "run_checkpoint",
-    "snapshots",
-    "splitters",
-    "suite_from_profile",
-    "validate",
-    "validate_stream",
-    "write_table",
-]
+# public name -> defining submodule (resolved lazily on attribute access)
+_EXPORTS = {
+    "Checkpoint": "checkpoint",
+    "run_checkpoint": "checkpoint",
+    "read_table": "io",
+    "read_table_delta": "io",
+    "snapshots": "io",
+    "write_table": "io",
+    "build_reference_profile": "profiler",
+    "suite_from_profile": "profiler",
+    "ValidationRun": "runner",
+    "resolve_evaluation_parameters": "runner",
+    "validate": "runner",
+    "StreamValidator": "streaming",
+    "validate_stream": "streaming",
+    "ExpectationConfiguration": "types",
+    "ExpectationSuite": "types",
+    "ExpectationSuiteValidationResult": "types",
+    "ExpectationValidationResult": "types",
+    "Validator": "validator",
+}
+
+__all__ = sorted([*_EXPORTS, "splitters"])
+
+
+def __getattr__(name: str):
+    import importlib
+    if name == "splitters":
+        mod = importlib.import_module(".splitters", __name__)
+        globals()[name] = mod
+        return mod
+    submodule = _EXPORTS.get(name)
+    if submodule is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    mod = importlib.import_module(f".{submodule}", __name__)
+    obj = getattr(mod, name)
+    globals()[name] = obj  # cache so subsequent access skips __getattr__
+    return obj
+
+
+def __dir__() -> list[str]:
+    return sorted(set(globals()) | set(__all__))

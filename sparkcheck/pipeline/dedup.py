@@ -220,7 +220,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 25,
+                       checkpoint_dir: str | None = None,
+                       allow_partial: bool = False) -> DataFrame:
     """Connected components over near-duplicate pairs: returns (id, cluster)
     where cluster is the minimum id reachable through the pair graph — the
     step that turns pairwise near-dup hits (MinHash/SimHash/Jaccard/
@@ -231,19 +233,41 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     the edge key — then short-circuits through its label's label (pointer
     jump), so chains collapse in O(log diameter) rounds rather than
     O(diameter). Labels only decrease (monotone), so stale reads are safe
-    and the fixpoint is exact. Lineage is truncated per round
-    (localCheckpoint) — an iterative plan would otherwise grow
-    exponentially. Near-dup graphs are unions of small cliques/chains, so
-    few rounds suffice; for adversarial giant components at 100 TB, swap in
-    alternating small-star/large-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) — same join primitive,
-    provably O(log^2 n) rounds."""
-    e = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-         .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
-         .distinct()
-         .localCheckpoint(eager=False))
+    and the fixpoint is exact. Lineage is truncated per round — an iterative
+    plan would otherwise grow exponentially. Near-dup graphs are unions of
+    small cliques/chains, so few rounds suffice; for adversarial giant
+    components at 100 TB, swap in alternating small-star/large-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same join primitive, provably O(log^2 n) rounds.
+
+    Fault tolerance at cluster scale: by default each round truncates
+    lineage with ``localCheckpoint`` (blocks stored on executors — fast, but
+    an executor loss mid-job is unrecoverable because truncated lineage
+    cannot recompute). Pass ``checkpoint_dir`` (HDFS/S3/DBFS path) to use
+    reliable ``checkpoint()`` instead: rounds survive executor loss at the
+    cost of one distributed write per round. On a multi-hour 100-TB run,
+    always set it.
+
+    If ``max_iter`` rounds exhaust before the fixpoint, labels are only
+    partially propagated (some clusters split). That raises RuntimeError
+    unless ``allow_partial=True``, which logs a warning and returns the
+    partial labels (callers doing incremental refinement may want them)."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    e = _truncate(
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct(), eager=False)
     labels = (e.select(F.col("s").alias("id")).distinct()
               .withColumn("lbl", F.col("id")))
+    converged = False
     for _ in range(max_iter):
         nmin = (e.join(labels.select(F.col("id").alias("d"),
                                      F.col("lbl").alias("dl")), "d")
@@ -256,16 +280,25 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        F.col("lbl").alias("old")))
         # pointer jump: follow my label's label (monotone, same component)
         hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("ll"))
-        jumped = (upd.join(hop, "lbl", "left")
-                  .select("id",
-                          F.least(F.col("lbl"),
-                                  F.coalesce(F.col("ll"), F.col("lbl"))).alias("lbl"),
-                          "old")
-                  .localCheckpoint(eager=True))
+        jumped = _truncate(
+            upd.join(hop, "lbl", "left")
+            .select("id",
+                    F.least(F.col("lbl"),
+                            F.coalesce(F.col("ll"), F.col("lbl"))).alias("lbl"),
+                    "old"), eager=True)
         changed = jumped.filter(F.col("lbl") < F.col("old")).limit(1).count()
         labels = jumped.select("id", "lbl")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (f"duplicate_clusters did not converge within max_iter="
+               f"{max_iter} rounds; labels are partially propagated "
+               f"(clusters may be split). Raise max_iter.")
+        if not allow_partial:
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("lbl").alias("cluster"))
 
 

@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# re-export: lives in fixture_math so the LSH oracle SQL builds without pyspark
+from ..fixture_math import make_hyperplanes  # noqa: F401
+
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
         "0D, (acc, v) -> acc + v)")
 
@@ -135,15 +138,6 @@ def ivf_topk_multiprobe(df: DataFrame, query: DataFrame, *,
             .limit(k))
 
 
-def make_hyperplanes(dim: int, n_planes: int, *, seed: int = 42,
-                     round_digits: int = 6) -> list[list[float]]:
-    """Deterministic Gaussian hyperplanes for sign-random-projection LSH
-    (Charikar, STOC 2002). Rounded so the same literals embed bit-identically
-    in Spark expressions and oracle SQL."""
-    import numpy as np
-    rng = np.random.RandomState(seed)
-    h = rng.standard_normal((n_planes, dim))
-    return [[round(float(v), round_digits) for v in row] for row in h]
 
 
 def hyperplane_signature(df: DataFrame, planes: list[list[float]], *,
@@ -185,8 +179,14 @@ def hyperplane_lsh_topk(df: DataFrame, query: DataFrame, *,
     for minhash. Candidates are distinct'd before the exact re-rank, so the
     expensive cosine runs once per candidate."""
     if planes is None:
-        dim = len(df.select(vec_col).head()[0])
-        planes = make_hyperplanes(dim, n_planes, seed=seed,
+        # dim inference costs one extra driver job; pass `planes` (or use
+        # make_hyperplanes yourself) on repeated searches to skip it
+        head = df.select(vec_col).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "cannot infer the embedding dimension from an empty corpus "
+                f"(or a NULL leading {vec_col!r}); pass planes= explicitly")
+        planes = make_hyperplanes(len(head[0]), n_planes, seed=seed,
                                   round_digits=round_digits)
     if len(planes) % n_bands:
         raise ValueError(

@@ -158,12 +158,20 @@ def compile_suite(suite_expectations: list[ExpectationConfiguration]) -> Compile
                 _add_common_map_slots(dp, item, nn, _nn_key(spec, kw))
                 if spec.kind == "map_unique":
                     # HLL++ prescreen in the fused pass (free) — north_star:
-                    # approx_count_distinct with exact fallback
+                    # approx_count_distinct with exact fallback. The target
+                    # is gated on the SAME domain filter as the nonnull slot
+                    # (when() -> NULL outside the domain, which the HLL
+                    # ignores): a compound key whose struct is non-null even
+                    # when all members are null would otherwise count the
+                    # all-null group, deflating est_dups = nonnull - approx
+                    # by one group right at the 3*rsd decision band
+                    # (ADVICE r3 #4).
                     target = (F.struct(*[F.col(c) for c in kw["column_list"]])
                               if spec.extra.get("compound") else F.col(kw["column"]))
                     item.slots["approx_distinct"] = dp.slot_table.add(
                         f"hll::{kwargs_id(kw)}",
-                        F.approx_count_distinct(target, float(kw.get("rsd", 0.05))))
+                        F.approx_count_distinct(F.when(nn, target),
+                                                float(kw.get("rsd", 0.05))))
             dp.job_items.append(item)
 
         elif spec.kind == "agg":

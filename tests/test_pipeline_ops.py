@@ -338,6 +338,45 @@ class TestDuplicateClusters:
                duplicate_clusters(df).collect()}
         assert got == expect
 
+    def test_nonconvergence_raises(self, spark):
+        """VERDICT r3 #2: exhausting max_iter without a fixpoint must NOT
+        silently return partially-propagated labels."""
+        from sparkcheck.pipeline.dedup import duplicate_clusters
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a int, id_b int")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(chain, max_iter=1)
+
+    def test_nonconvergence_allow_partial_warns(self, spark):
+        import warnings
+        from sparkcheck.pipeline.dedup import duplicate_clusters
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a int, id_b int")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rows = duplicate_clusters(chain, max_iter=1,
+                                      allow_partial=True).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+        assert len(rows) == 13  # partial labels still returned
+
+    def test_reliable_checkpoint_dir_matches_local(self, spark, tmp_path):
+        """checkpoint_dir switches lineage truncation to reliable
+        checkpoint() (survives executor loss at cluster scale); clusters
+        must be identical to the localCheckpoint default."""
+        from sparkcheck.pipeline.dedup import duplicate_clusters
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("g", "g2"),
+             ("g2", "a")], "id_a string, id_b string")
+        base = {r["id"]: r["cluster"] for r in
+                duplicate_clusters(pairs).collect()}
+        ckpt = {r["id"]: r["cluster"] for r in
+                duplicate_clusters(
+                    pairs, checkpoint_dir=str(tmp_path / "cc")).collect()}
+        assert ckpt == base
+        # the reliable checkpoint actually wrote round snapshots
+        import os
+        assert any(os.scandir(tmp_path / "cc"))
+
 
 class TestLangIdEdges:
     def test_empty_and_null_text(self, spark):
