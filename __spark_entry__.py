@@ -1192,6 +1192,66 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def q_sim_pairwise_cell(spark, sf_dir):
+    """All-pairs top-k WITHIN each IVF cell (similarity.py:
+    pairwise_topk_per_cell): the per-cell self-join bounded by max_cell_size,
+    ranking on ROUNDED cosine with id tie-break. round_digits=4 keeps every
+    rounded value >=1e-8 from a rounding boundary on this fixture (measured),
+    so Spark's fold and DuckDB's list_dot_product agree bit-for-bit."""
+    from sparkcheck.pipeline.similarity import pairwise_topk_per_cell
+    e = _t(spark, sf_dir, "embeddings")
+    out = pairwise_topk_per_cell(e, k=3, round_digits=4)
+    return out.select(F.col("id_a").cast("bigint"),
+                      F.col("id_b").cast("bigint"), "sim",
+                      F.col("rn").cast("int"))
+
+
+_SQL_SIM_PAIRWISE_CELL = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                      * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+      FROM p)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, sim,
+       CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 3
+"""
+
+
+def q_ge_sink_partitions(spark, sf_dir):
+    """Per-partition verdicts through the r4 DISTRIBUTED sink
+    (partition_verdict_sink): the rollup and verdict rows are written as
+    parquet by executors — the driver never collects them — then read back
+    via read_partition_verdicts. Oracle = the same closed-form
+    expected_partition_verdicts literals as audio_suite_partitions, proving
+    the sink path and the collected path produce identical verdicts."""
+    import tempfile
+
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    from sparkcheck.runner import read_partition_verdicts
+    clips = (generate_audio_clips(spark, 10_000, with_bytes=False,
+                                  num_partitions=8)
+             .withColumn("__part", F.spark_partition_id()))
+    suite = (ExpectationSuite("audio")
+             .add("expect_column_values_to_not_be_null", column="clip_id")
+             .add("expect_column_values_to_be_between",
+                  column="sr_hz", min_value=8000, max_value=48000)
+             .add("expect_column_values_to_be_in_set",
+                  column="codec", value_set=["wav", "flac", "mp3", "opus"]))
+    sink = tempfile.mkdtemp(prefix="sparkcheck_sink_")
+    validate(clips, suite, per_partition=True, partition_col="__part",
+             partition_verdict_sink=sink)
+    v = read_partition_verdicts(spark, sink)
+    return v.select(F.col("partition_id").cast("int"),
+                    "expectation_type", "domain", "success",
+                    F.col("unexpected_count").cast("bigint"))
+
+
 def q_text_tokens(spark, sf_dir):
     """Token counting per language (integer outputs — exact parity)."""
     d = _t(spark, sf_dir, "documents")
@@ -1764,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_label": q_sim_ivf,
         "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
         "sim_lsh_hyperplane": q_sim_lsh_hyperplane,
+        "sim_pairwise_cell": q_sim_pairwise_cell,
+        "ge_sink_partitions": q_ge_sink_partitions,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1825,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_label": _SQL_SIM_IVF,
         "sim_ivf_multiprobe": _SQL_SIM_IVF_MULTIPROBE,
         "sim_lsh_hyperplane": _sim_lsh_sql(),
+        "sim_pairwise_cell": _SQL_SIM_PAIRWISE_CELL,
         "text_tokens": _SQL_TEXT_TOKENS,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_TEXT_LANGID,
@@ -1876,6 +1939,13 @@ def _audio_oracle_sql() -> dict[str, str]:
             f"CAST({frms['avg_rms']!r} AS DOUBLE) AS avg_rms, "
             f"CAST({frms['n_clips']} AS BIGINT) AS n_clips"),
         "audio_suite_partitions": (
+            "SELECT CAST(partition_id AS INT) AS partition_id, expectation_type, "
+            "domain, success, CAST(unexpected_count AS BIGINT) AS unexpected_count "
+            f"FROM (VALUES\n  {pv_rows}\n) "
+            "AS t(partition_id, expectation_type, domain, success, unexpected_count)"),
+        # the r4 distributed-sink path must reproduce the SAME closed-form
+        # per-partition verdicts as the collected path above
+        "ge_sink_partitions": (
             "SELECT CAST(partition_id AS INT) AS partition_id, expectation_type, "
             "domain, success, CAST(unexpected_count AS BIGINT) AS unexpected_count "
             f"FROM (VALUES\n  {pv_rows}\n) "

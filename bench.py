@@ -18,6 +18,13 @@ Two parts:
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
      SPARKCHECK_BENCH_CLIPS (default 1_500_000),
      SPARKCHECK_BENCH_SNR_CLIPS (default 50_000).
+
+Reading the numbers across rounds (VERDICT r3 #8): absolute wall times move
+with box speed — BENCH_r02 -> BENCH_r03 the measured reference-GE baseline
+itself slowed x1.29 on the same code. COLD-ratio comparisons (ours vs the
+reference) are only meaningful against the `ge_reference_*` rows measured in
+the SAME bench run; cross-round per-query comparisons should be normalized
+by the reference row's ratio between those rounds first.
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ _EXPORTS = {
     "build_reference_profile": "profiler",
     "suite_from_profile": "profiler",
     "ValidationRun": "runner",
+    "read_partition_verdicts": "runner",
     "resolve_evaluation_parameters": "runner",
     "validate": "runner",
     "StreamValidator": "streaming",

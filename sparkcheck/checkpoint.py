@@ -134,6 +134,7 @@ class Checkpoint:
         result_format: str = "BASIC",
         unique_strategy: str = "exact",
         max_groups: int = 10_000,
+        actions: list | None = None,
     ) -> None:
         if group_mode not in ("hash", "column"):
             raise ValueError(f"unknown group_mode: {group_mode}")
@@ -146,7 +147,32 @@ class Checkpoint:
         self.tables = tables or {}
         self.result_format = result_format
         self.unique_strategy = unique_strategy
+        # Post-commit action hooks — the engine-scope analogue of the
+        # reference's ActionListValidationOperator (great_expectations/
+        # checkpoint/actions.py:711-933 runs notify/docs actions after each
+        # validation); ours invokes each callable AFTER a group's manifest
+        # commit with {"group_id", "snapshot_id", "epoch", "suite_name",
+        # "success", "verdict_rows"}. At-most-once per committed group: a
+        # crash inside an action never loses the committed verdicts, and on
+        # resume the group is already committed so the action does NOT
+        # re-fire. Action exceptions propagate (the verdicts are safe).
+        self.actions = list(actions or [])
         os.makedirs(os.path.join(store_path, "verdicts"), exist_ok=True)
+
+    def _fire_actions(self, gid, snapshot_id: str, epoch: int,
+                      rows: dict) -> None:
+        if not self.actions:
+            return
+        fields = list(rows)
+        verdict_rows = [dict(zip(fields, vals)) for vals in zip(*rows.values())]
+        payload = {
+            "group_id": str(gid), "snapshot_id": snapshot_id, "epoch": epoch,
+            "suite_name": self.suite.expectation_suite_name,
+            "success": all(r["success"] for r in verdict_rows),
+            "verdict_rows": verdict_rows,
+        }
+        for action in self.actions:
+            action(payload)
 
     # ------------------------------------------------------------ manifest
 
@@ -278,6 +304,7 @@ class Checkpoint:
                         "group_mode": self.group_mode,
                         "snapshot_id": snapshot_id, "suite": self.suite.expectation_suite_name}
             self._commit(manifest)
+            self._fire_actions(gid, snapshot_id, epoch, rows)
             done_this_run += 1
         return {
             "epoch": epoch,
@@ -404,6 +431,8 @@ class Checkpoint:
                     "snapshot_id": snapshot_id,
                     "suite": self.suite.expectation_suite_name}
         self._commit(manifest)
+        # single-pass commits all groups at once -> one action firing
+        self._fire_actions("__single_pass__", snapshot_id, epoch, rows)
         return {"epoch": epoch, "groups_total": self.n_groups,
                 "groups_validated_this_run": self.n_groups,
                 "groups_committed": self.n_groups,
@@ -488,6 +517,8 @@ def parameters_from_verdicts(spark, store_path: str) -> dict:
 def run_checkpoint(df: DataFrame, suite: ExpectationSuite, store_path: str, *,
                    group_key: str, n_groups: int = 8,
                    tables: dict[str, DataFrame] | None = None,
-                   snapshot_id: str = "snap-0") -> dict:
-    cp = Checkpoint(store_path, suite, group_key=group_key, n_groups=n_groups, tables=tables)
+                   snapshot_id: str = "snap-0",
+                   actions: list | None = None) -> dict:
+    cp = Checkpoint(store_path, suite, group_key=group_key, n_groups=n_groups,
+                    tables=tables, actions=actions)
     return cp.run(df, snapshot_id=snapshot_id)

@@ -84,7 +84,8 @@ class ValidationRun:
         catch_exceptions: bool = True,
         per_partition: bool = False,
         partition_col: str | None = None,
-        unique_strategy: str = "exact",  # 'exact' | 'approx'
+        unique_strategy: str = "exact",  # 'exact' | 'approx' | 'auto'
+        partition_verdict_sink: str | None = None,
     ) -> None:
         self.df = df
         self.tables = tables or {}
@@ -94,6 +95,17 @@ class ValidationRun:
         self.per_partition = per_partition
         self.partition_col = partition_col
         self.unique_strategy = unique_strategy
+        # VERDICT r3 #6: with per_partition=True the rollup produces one row
+        # per partition x the full slot-table width; collect()ing that is
+        # fine at thousands of partitions but a driver-memory edge at 100k+
+        # Iceberg partitions. Set `partition_verdict_sink` (a directory) to
+        # write the rollup rows AND the derived per-partition verdict rows
+        # as parquet DISTRIBUTED — the driver only ever reads the single
+        # global row back. Read results with read_partition_verdicts().
+        self.partition_verdict_sink = partition_verdict_sink
+        if partition_verdict_sink is not None and not per_partition:
+            raise ValueError(
+                "partition_verdict_sink requires per_partition=True")
         self.partition_verdicts: list[dict] = []
 
     # ------------------------------------------------------------- helpers
@@ -111,6 +123,147 @@ class ValidationRun:
         if self.rf["result_format"] == "COMPLETE":
             return self.rf["unexpected_list_limit"]
         return self.rf["partial_unexpected_count"]
+
+    # ------------------------------------- distributed verdict sink (r4)
+
+    def _sink_lits(self, item: CompiledItem) -> list[Column]:
+        import json as _json
+        kw = item.kwargs
+        domain = (kw.get("column") or ",".join(kw.get("column_list", []))
+                  or kw.get("column_A", ""))
+        return [
+            F.lit(item.config.expectation_type).alias("expectation_type"),
+            F.lit(domain).alias("domain"),
+            F.lit(item.spec.kind).alias("kind"),
+            F.lit(_json.dumps(kw, sort_keys=True, default=str))
+            .alias("config_kwargs"),
+        ]
+
+    def _sink_verdict_select(self, item: CompiledItem) -> list[Column] | None:
+        """Spark-expression verdict derivation for one fused item over stored
+        rollup rows — the distributed twin of _evr_from_row_quiet. Returns
+        None when the verdict is not Catalyst-expressible (drift /
+        agg_custom / non-numeric or datetime bounds); those fall back to a
+        NARROW driver collect of just that item's slot columns."""
+        spec, kw = item.spec, item.kwargs
+        pid = F.col("__pid").cast("string").alias("partition_id")
+        lits = self._sink_lits(item)
+        null_l = F.lit(None).cast("long")
+        null_d = F.lit(None).cast("double")
+        if spec.kind == "map":
+            el = F.coalesce(F.col(item.slots["element"]), F.lit(0)).cast("long")
+            nn = F.coalesce(F.col(item.slots["nonnull"]), F.lit(0)).cast("long")
+            ux = F.coalesce(F.col(item.slots["unexpected"]), F.lit(0)).cast("long")
+            mostly = float(kw.get("mostly", 1.0))
+            # mostly_success(): vacuous pass on empty/all-null, else
+            # (nonnull - unexpected) / nonnull >= mostly
+            success = ((el == 0) | (nn == 0)
+                       | ((nn - ux).cast("double")
+                          >= F.lit(mostly) * nn.cast("double")))
+            return [pid, *lits, success.alias("success"),
+                    el.alias("element_count"),
+                    (el - nn).alias("missing_count"),
+                    ux.alias("unexpected_count"),
+                    null_d.alias("observed_value")]
+        if spec.kind == "agg":
+            lo, hi = kw.get("min_value"), kw.get("max_value")
+            num = (int, float, type(None))
+            if (not isinstance(lo, num) or not isinstance(hi, num)
+                    or isinstance(lo, bool) or isinstance(hi, bool)
+                    or kw.get("parse_strings_as_datetimes")):
+                return None
+            v = F.col(item.slots["value"]).cast("double")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (v > lo if kw.get("strict_min") else v >= lo)
+            if hi is not None:
+                cond = cond & (v < hi if kw.get("strict_max") else v <= hi)
+            # validate_metric_value_between: a NULL observed value fails
+            success = F.when(v.isNull(), F.lit(False)).otherwise(cond)
+            return [pid, *lits, success.alias("success"),
+                    null_l.alias("element_count"),
+                    null_l.alias("missing_count"),
+                    null_l.alias("unexpected_count"),
+                    v.alias("observed_value")]
+        return None
+
+    _SINK_SCHEMA = ("partition_id string, expectation_type string, "
+                    "domain string, kind string, success boolean, "
+                    "element_count long, missing_count long, "
+                    "unexpected_count long, observed_value double, "
+                    "config_kwargs string")
+    _SINK_COLS = ["partition_id", "expectation_type", "domain", "kind",
+                  "success", "element_count", "missing_count",
+                  "unexpected_count", "observed_value", "config_kwargs"]
+
+    def _fused_pass_to_sink(self, dp: DomainPlan, dfd: DataFrame,
+                            didx: int) -> dict:
+        """Per-partition fused pass for 100k+-partition tables: the wide
+        rollup (partitions x slot-table width) is written to the sink as
+        parquet DISTRIBUTED and per-partition verdict rows are derived from
+        it with Catalyst expressions — the driver reads back only the single
+        global row (a pushed `__pid IS NULL` filter on the tiny parquet).
+        Items whose verdicts need driver logic (drift, agg_custom,
+        non-numeric bounds) collect a NARROW projection (that item's slot
+        columns only), never the full slot table. Returns the global row."""
+        import json as _json
+        import os
+        from functools import reduce
+        spark = dfd.sparkSession
+        sink = self.partition_verdict_sink
+        rollup_path = os.path.join(sink, f"rollup-domain-{didx}.parquet")
+        (dfd.withColumn("__pid", self._pid_expr())
+            .rollup("__pid").agg(*dp.slot_table.agg_list)
+            .write.mode("overwrite").parquet(rollup_path))
+        stored = spark.read.parquet(rollup_path)
+        g = stored.filter(F.col("__pid").isNull()).collect()
+        grow = g[0].asDict() if g else {a: None for a in dp.slot_table.exprs}
+        pid_src = stored.filter(F.col("__pid").isNotNull())
+        exprs, narrow = [], []
+        for item in dp.fused_items:
+            sel = self._sink_verdict_select(item)
+            if sel is not None:
+                exprs.append(sel)
+            else:
+                narrow.append(item)
+        if exprs:
+            out = reduce(lambda a, b: a.unionByName(b),
+                         [pid_src.select(*sel).select(*self._SINK_COLS)
+                          for sel in exprs])
+            out.write.mode("overwrite").parquet(
+                os.path.join(sink, f"verdicts-domain-{didx}.parquet"))
+        if narrow:
+            rows_out = []
+            for item in narrow:
+                cols = sorted(set(item.slots.values())
+                              | set(item.info.get("bin_aliases", [])))
+                for r in pid_src.select("__pid", *cols).collect():
+                    d = r.asDict()
+                    try:
+                        pevr = self._evr_from_row_quiet(item, d)
+                    except Exception:  # noqa: BLE001 — mirror collected path
+                        continue
+                    if pevr is None:
+                        continue
+                    res = pevr.result or {}
+                    ov = res.get("observed_value")
+                    kw = item.kwargs
+                    rows_out.append((
+                        str(d["__pid"]), item.config.expectation_type,
+                        kw.get("column") or ",".join(kw.get("column_list", []))
+                        or kw.get("column_A", ""),
+                        item.spec.kind, bool(pevr.success),
+                        _opt_int(res.get("element_count")),
+                        _opt_int(res.get("missing_count")),
+                        _opt_int(res.get("unexpected_count")),
+                        float(ov) if isinstance(ov, (int, float))
+                        and not isinstance(ov, bool) else None,
+                        _json.dumps(kw, sort_keys=True, default=str)))
+            if rows_out:
+                (spark.createDataFrame(rows_out, self._SINK_SCHEMA)
+                 .write.mode("overwrite").parquet(os.path.join(
+                     sink, f"verdicts-domain-{didx}-driver.parquet")))
+        return grow
 
     def _collect_samples(self, dfd: DataFrame, unexpected_cond: Column,
                          item: CompiledItem) -> tuple[list, list | None]:
@@ -844,7 +997,8 @@ class ValidationRun:
     # ------------------------------------------------------ dependent pass
 
     def _run_dependent_items(self, items: list[CompiledItem], dfd: DataFrame,
-                             grow: dict, pid_rows: list[dict]) -> list[tuple[CompiledItem, ExpectationValidationResult]]:
+                             grow: dict, pid_rows: list[dict],
+                             didx: int = 0) -> list[tuple[CompiledItem, ExpectationValidationResult]]:
         """Z-score conditions: second fused pass using pass-1 mean/stddev."""
         exprs = []
         conds: dict[str, Column] = {}
@@ -857,7 +1011,39 @@ class ValidationRun:
             cond = nn & ~expected
             conds[f"z{i}"] = cond
             exprs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"z{i}"))
-        if self.per_partition:
+        if self.per_partition and self.partition_verdict_sink is not None:
+            # sink mode (r4 #6): rollup written distributed; only the global
+            # row is read back; per-partition z verdicts derived in Spark
+            import os
+            from functools import reduce
+            spark = dfd.sparkSession
+            zpath = os.path.join(self.partition_verdict_sink,
+                                 f"zrollup-domain-{didx}.parquet")
+            (dfd.withColumn("__pid", self._pid_expr())
+                .rollup("__pid").agg(*exprs)
+                .write.mode("overwrite").parquet(zpath))
+            stored = spark.read.parquet(zpath)
+            zg = stored.filter(F.col("__pid").isNull()).collect()
+            zrow = zg[0].asDict() if zg else {f"z{i}": 0 for i in range(len(items))}
+            pid_src = stored.filter(F.col("__pid").isNotNull())
+            null_l = F.lit(None).cast("long")
+            parts = [pid_src.select(
+                F.col("__pid").cast("string").alias("partition_id"),
+                *self._sink_lits(item),
+                F.lit(True).alias("success"),
+                null_l.alias("element_count"),
+                null_l.alias("missing_count"),
+                F.coalesce(F.col(f"z{i}"), F.lit(0)).cast("long")
+                .alias("unexpected_count"),
+                F.lit(None).cast("double").alias("observed_value"))
+                .select(*self._SINK_COLS)
+                for i, item in enumerate(items)]
+            if parts:
+                reduce(lambda a, b: a.unionByName(b), parts).write.mode(
+                    "overwrite").parquet(os.path.join(
+                        self.partition_verdict_sink,
+                        f"verdicts-domain-{didx}-z.parquet"))
+        elif self.per_partition:
             rows = dfd.withColumn("__pid", self._pid_expr()).rollup("__pid").agg(*exprs).collect()
             global_rows = [r for r in rows if r["__pid"] is None]
             zrow = global_rows[0].asDict() if global_rows else {f"z{i}": 0 for i in range(len(items))}
@@ -1167,7 +1353,7 @@ class ValidationRun:
         for item in plan.schema_items:
             record(item.config, lambda it=item: self._run_schema_item(it))
 
-        for dp in plan.domains.values():
+        for didx, dp in enumerate(plan.domains.values()):
             dfd = self.df
             if dp.row_condition:
                 try:
@@ -1194,7 +1380,11 @@ class ValidationRun:
             if dp.slot_table.exprs:
                 agg_list = dp.slot_table.agg_list
                 try:
-                    if self.per_partition:
+                    if self.per_partition and self.partition_verdict_sink is not None:
+                        # 100k+-partition mode: verdict rows go to the sink
+                        # distributed; nothing wide is collected (r4 #6)
+                        grow = self._fused_pass_to_sink(dp, dfd, didx)
+                    elif self.per_partition:
                         rows = [r.asDict() for r in
                                 dfd.withColumn("__pid", self._pid_expr())
                                 .rollup("__pid").agg(*agg_list).collect()]
@@ -1235,7 +1425,8 @@ class ValidationRun:
 
             if dp.dependent_items:
                 try:
-                    for item, evr in self._run_dependent_items(dp.dependent_items, dfd, grow, pid_rows):
+                    for item, evr in self._run_dependent_items(
+                            dp.dependent_items, dfd, grow, pid_rows, didx):
                         evrs[id(item.config)] = evr
                 except Exception as e:  # noqa: BLE001
                     if not self.catch_exceptions:
@@ -1281,7 +1472,8 @@ class ValidationRun:
         success = mostly_success(element, nonnull, unexpected, mostly)
         return ExpectationValidationResult(
             success=success, expectation_config=item.config,
-            result={"element_count": element, "unexpected_count": unexpected})
+            result={"element_count": element, "unexpected_count": unexpected,
+                    "missing_count": element - nonnull})
 
 
 def _jsonable(v: Any) -> Any:
@@ -1291,6 +1483,19 @@ def _jsonable(v: Any) -> Any:
         return v
     except (TypeError, ValueError):
         return str(v)
+
+
+def _opt_int(v: Any) -> int | None:
+    return None if v is None else int(v)
+
+
+def read_partition_verdicts(spark, sink_path: str) -> DataFrame:
+    """All per-partition verdict rows a `partition_verdict_sink` run wrote
+    (distributed derivation + the driver-derived narrow items + the z-score
+    pass), as one DataFrame — the scale-safe replacement for
+    result.meta['partition_verdicts'] when partitions number 100k+."""
+    import os
+    return spark.read.parquet(os.path.join(sink_path, "verdicts-*.parquet"))
 
 
 def resolve_evaluation_parameters(
@@ -1355,13 +1560,19 @@ def validate(
     partition_col: str | None = None,
     unique_strategy: str = "exact",
     evaluation_parameters: dict | None = None,
+    partition_verdict_sink: str | None = None,
 ) -> ExpectationSuiteValidationResult:
     suite = resolve_evaluation_parameters(suite, evaluation_parameters)
     run = ValidationRun(
         df, tables=tables, result_format=result_format,
         catch_exceptions=catch_exceptions, per_partition=per_partition,
-        partition_col=partition_col, unique_strategy=unique_strategy)
+        partition_col=partition_col, unique_strategy=unique_strategy,
+        partition_verdict_sink=partition_verdict_sink)
     result = run.run(suite)
     if per_partition:
         result.meta["partition_verdicts"] = run.partition_verdicts
+        if partition_verdict_sink is not None:
+            # verdict rows live in the sink, not the driver — read them with
+            # read_partition_verdicts(spark, path)
+            result.meta["partition_verdicts_path"] = partition_verdict_sink
     return result

@@ -927,3 +927,84 @@ class TestSaltedRepartitionDeterminism:
         n_parts = (out.select(F.spark_partition_id().alias("pid"))
                    .distinct().count())
         assert n_parts >= 4
+
+
+class TestCheckpointActions:
+    """VERDICT r3 #7: post-commit action hooks — the reference's
+    ActionListValidationOperator analogue (checkpoint/actions.py:711-933)
+    without docs/notify deps. At-most-once per committed group; kill/resume
+    semantics unchanged."""
+
+    def _suite(self):
+        from sparkcheck import ExpectationSuite
+        return (ExpectationSuite("act")
+                .add("expect_column_values_to_not_be_null", column="clip_id")
+                .add("expect_column_values_to_be_between",
+                     column="sr_hz", min_value=8000, max_value=48000,
+                     mostly=0.99))
+
+    @pytest.fixture()
+    def clips4k(self, spark):
+        from sparkcheck.io import generate_audio_clips
+        return generate_audio_clips(spark, 4000, with_bytes=False,
+                                    num_partitions=4)
+
+    def test_actions_fire_per_committed_group(self, spark, clips4k, tmp_path):
+        from sparkcheck.checkpoint import Checkpoint
+        seen = []
+        cp = Checkpoint(str(tmp_path / "s"), self._suite(),
+                        group_key="clip_id", n_groups=5,
+                        actions=[seen.append])
+        cp.run(clips4k)
+        assert len(seen) == 5
+        assert sorted(p["group_id"] for p in seen) == [str(g) for g in range(5)]
+        p = seen[0]
+        assert p["suite_name"] == "act" and p["epoch"] == 1
+        assert len(p["verdict_rows"]) == 2  # one per expectation
+        assert {r["expectation_type"] for r in p["verdict_rows"]} == {
+            "expect_column_values_to_not_be_null",
+            "expect_column_values_to_be_between"}
+        assert p["success"] == all(r["success"] for r in p["verdict_rows"])
+
+    def test_actions_not_refired_on_resume(self, spark, clips4k, tmp_path):
+        from sparkcheck.checkpoint import Checkpoint
+        seen = []
+        cp = Checkpoint(str(tmp_path / "s2"), self._suite(),
+                        group_key="clip_id", n_groups=5,
+                        actions=[seen.append])
+        with pytest.raises(RuntimeError, match="injected failure"):
+            cp.run(clips4k, fail_after_groups=2)
+        assert len(seen) == 2
+        cp.run(clips4k)  # resume: remaining 3 groups only
+        assert len(seen) == 5
+        assert sorted(p["group_id"] for p in seen) == [str(g) for g in range(5)]
+
+    def test_crashing_action_never_loses_commit(self, spark, clips4k, tmp_path):
+        """The manifest commit precedes the action, so an action crash is
+        recoverable: the group stays committed and resume skips it."""
+        from sparkcheck.checkpoint import Checkpoint
+
+        def bomb(payload):
+            raise OSError("notify endpoint down")
+
+        cp = Checkpoint(str(tmp_path / "s3"), self._suite(),
+                        group_key="clip_id", n_groups=3, actions=[bomb])
+        with pytest.raises(OSError, match="notify endpoint down"):
+            cp.run(clips4k)
+        assert len(cp._load_manifest()["committed_groups"]) == 1
+        cp.actions = []  # operator fixes the action, resumes
+        out = cp.run(clips4k)
+        assert out["groups_committed"] == 3
+        assert cp.verdicts(spark).count() == 3 * 2  # no dups
+
+    def test_single_pass_fires_once(self, spark, clips4k, tmp_path):
+        from sparkcheck.checkpoint import Checkpoint
+        seen = []
+        cp = Checkpoint(str(tmp_path / "s4"), self._suite(),
+                        group_key="clip_id", n_groups=4,
+                        actions=[seen.append])
+        cp.run_single_pass(clips4k)
+        assert len(seen) == 1
+        assert seen[0]["group_id"] == "__single_pass__"
+        # per-group rows for both count-decomposable expectations
+        assert len(seen[0]["verdict_rows"]) == 4 * 2
