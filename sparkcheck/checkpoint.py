@@ -314,7 +314,8 @@ class Checkpoint:
             "wall_sec": time.time() - t0,
         }
 
-    def run_single_pass(self, df: DataFrame, *, snapshot_id: str = "snap-0") -> dict:
+    def run_single_pass(self, df: DataFrame, *, snapshot_id: str = "snap-0",
+                        distributed_verdicts: bool = False) -> dict:
         """Validate ALL groups in ONE table scan instead of one scan per
         group: the fused pass rolls up on the group-bucket expression
         (``df.rollup(bucket).agg(...)``), yielding per-group verdict rows for
@@ -323,6 +324,16 @@ class Checkpoint:
         referential, audio) are evaluated once globally and stored as one
         ``__global__`` row each (their exact whole-table counts — stricter
         than per-group AND).
+
+        ``distributed_verdicts=True`` (r4, for n_groups in the 100k+ range):
+        the per-group rollup rows are NEVER collected to the driver — the
+        fused pass writes them through the runner's partition_verdict_sink
+        and this method transforms them into verdict-store rows with a
+        Spark job (broadcast join against the tiny config_id mapping),
+        written straight into the store. The driver only handles the global
+        row and the non-fused (audio/job) verdicts. Action payloads then
+        carry only those driver-side rows; the grouped rows live in the
+        store (read them with .verdicts()).
 
         Tradeoff vs run(): one scan instead of n_groups scans (the win when
         the storage layout cannot prune per group — plain parquet), but the
@@ -365,10 +376,14 @@ class Checkpoint:
 
         key = F.coalesce(F.col(self.group_key).cast("string"), F.lit("\x00null"))
         bucket = F.pmod(F.abs(F.xxhash64(key)), F.lit(self.n_groups))
+        work = None
+        if distributed_verdicts:
+            work = os.path.join(self.store_path, "_single_pass_work")
         run = ValidationRun(
             df.withColumn("__grp", bucket), tables=self.tables,
             result_format=self.result_format, per_partition=True,
-            partition_col="__grp", unique_strategy=self.unique_strategy)
+            partition_col="__grp", unique_strategy=self.unique_strategy,
+            partition_verdict_sink=work)
         result = run.run(self.suite)
 
         rows = {f: [] for f in VERDICT_FIELDS}
@@ -409,6 +424,11 @@ class Checkpoint:
             emit(pv["partition_id"], etype, kw, pv["success"],
                  element, (element or 0) - missing,
                  pv.get("unexpected_count"), count_based=True)
+        if distributed_verdicts:
+            # map-kind per-group rows were diverted to the work sink; write
+            # them into the store with a Spark job (no driver materialization)
+            grouped_configs |= self._write_grouped_verdicts_distributed(
+                df.sparkSession, work, snapshot_id, epoch)
         for evr in result.results:
             etype = evr.expectation_config.expectation_type
             kw = evr.expectation_config.kwargs
@@ -431,6 +451,9 @@ class Checkpoint:
                     "snapshot_id": snapshot_id,
                     "suite": self.suite.expectation_suite_name}
         self._commit(manifest)
+        if work is not None:
+            import shutil
+            shutil.rmtree(work, ignore_errors=True)  # store rows are durable
         # single-pass commits all groups at once -> one action firing
         self._fire_actions("__single_pass__", snapshot_id, epoch, rows)
         return {"epoch": epoch, "groups_total": self.n_groups,
@@ -438,8 +461,66 @@ class Checkpoint:
                 "groups_committed": self.n_groups,
                 "wall_sec": time.time() - t0}
 
+    def _write_grouped_verdicts_distributed(self, spark, work: str,
+                                            snapshot_id: str,
+                                            epoch: int) -> set:
+        """Transform the runner-sink rows (one per group x fused map item)
+        into verdict-store rows entirely in Spark: broadcast-join the tiny
+        (expectation_type, kwargs-json) -> (config_id, mostly) mapping and
+        write the result as a parquet directory inside the store. Returns
+        the config_ids covered (their global rows are skipped, exactly like
+        the collected path)."""
+        import json as _json
+
+        from .planner import compile_suite
+        from .runner import read_partition_verdicts
+        mapping, grouped = [], set()
+        for dp in compile_suite(self.suite.expectations).domains.values():
+            for item in dp.fused_items:
+                if item.spec.kind != "map":
+                    continue
+                cid = config_id(item.config.expectation_type, item.kwargs)
+                mapping.append((
+                    item.config.expectation_type,
+                    _json.dumps(item.kwargs, sort_keys=True, default=str),
+                    cid, float(item.kwargs.get("mostly", 1.0))))
+                grouped.add(cid)
+        if not mapping:
+            return set()
+        m = spark.createDataFrame(
+            mapping, "expectation_type string, config_kwargs string, "
+                     "__cid string, __mostly double")
+        v = read_partition_verdicts(spark, work)
+        out = (v.filter((F.col("kind") == "map")
+                        & F.col("element_count").isNotNull())
+               .join(F.broadcast(m), ["expectation_type", "config_kwargs"])
+               .select(
+                   F.col("partition_id").alias("group_id"),
+                   F.lit(snapshot_id).alias("snapshot_id"),
+                   F.lit(epoch).cast("long").alias("checkpoint_epoch"),
+                   F.lit(self.suite.expectation_suite_name).alias("suite_name"),
+                   F.col("__cid").alias("config_id"),
+                   F.col("expectation_type"),
+                   F.col("domain"),
+                   F.col("success"),
+                   F.col("element_count").cast("long").alias("element_count"),
+                   (F.col("element_count")
+                    - F.coalesce(F.col("missing_count"), F.lit(0)))
+                   .cast("long").alias("nonnull_count"),
+                   F.coalesce(F.col("unexpected_count"), F.lit(0))
+                   .cast("long").alias("unexpected_count"),
+                   F.col("__mostly").alias("mostly"),
+                   F.lit("[]").alias("unexpected_sample_json")))
+        out.write.mode("overwrite").parquet(os.path.join(
+            self.store_path, "verdicts", "single-pass-grouped.parquet"))
+        return grouped
+
     def verdicts(self, spark) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.store_path, "verdicts"))
+        # the glob reads BOTH plain files (group-*.parquet,
+        # single-pass.parquet) and the distributed-verdicts directory
+        # (single-pass-grouped.parquet) as one table
+        return spark.read.parquet(
+            os.path.join(self.store_path, "verdicts", "*.parquet"))
 
     def rollup(self, spark) -> DataFrame:
         """Suite-level rollup over committed per-group verdicts.
@@ -493,7 +574,7 @@ def parameters_from_verdicts(spark, store_path: str) -> dict:
     ``validate(..., evaluation_parameters=...)`` inputs for cross-run checks
     (e.g. today's row count must equal yesterday's)."""
     from pyspark.sql import functions as F
-    v = spark.read.parquet(os.path.join(store_path, "verdicts"))
+    v = spark.read.parquet(os.path.join(store_path, "verdicts", "*.parquet"))
     agg = (v.groupBy("config_id", "expectation_type", "domain")
            .agg(F.sum("element_count").alias("element_count"),
                 F.sum("unexpected_count").alias("unexpected_count")).collect())

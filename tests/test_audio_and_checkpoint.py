@@ -1008,3 +1008,75 @@ class TestCheckpointActions:
         assert seen[0]["group_id"] == "__single_pass__"
         # per-group rows for both count-decomposable expectations
         assert len(seen[0]["verdict_rows"]) == 4 * 2
+
+
+class TestDistributedSinglePass:
+    """r4: run_single_pass(distributed_verdicts=True) writes per-group
+    verdict rows from the executors (runner sink -> broadcast config_id
+    join -> parquet in the store); rows must be identical to the collected
+    path and the rollup must agree."""
+
+    def _suite(self):
+        from sparkcheck import ExpectationSuite
+        return (ExpectationSuite("dsp")
+                .add("expect_column_values_to_not_be_null", column="clip_id")
+                .add("expect_column_values_to_be_between",
+                     column="sr_hz", min_value=8000, max_value=48000,
+                     mostly=0.99)
+                .add("expect_column_mean_to_be_between",
+                     column="dur_ms", min_value=100, max_value=30000)
+                .add("expect_column_values_to_be_unique", column="clip_id"))
+
+    @pytest.fixture()
+    def clips6k(self, spark):
+        from sparkcheck.io import generate_audio_clips
+        return generate_audio_clips(spark, 6000, with_bytes=False,
+                                    num_partitions=4)
+
+    def _rows(self, spark, cp):
+        out = {}
+        for r in cp.verdicts(spark).collect():
+            k = (r["group_id"], r["config_id"])
+            out[k] = (r["expectation_type"], r["domain"], bool(r["success"]),
+                      r["element_count"], r["nonnull_count"],
+                      r["unexpected_count"], r["mostly"],
+                      r["snapshot_id"], r["checkpoint_epoch"],
+                      r["suite_name"])
+        return out
+
+    def test_distributed_matches_collected(self, spark, clips6k, tmp_path):
+        from sparkcheck.checkpoint import Checkpoint
+        a = Checkpoint(str(tmp_path / "collected"), self._suite(),
+                       group_key="clip_id", n_groups=6)
+        a.run_single_pass(clips6k)
+        b = Checkpoint(str(tmp_path / "distributed"), self._suite(),
+                       group_key="clip_id", n_groups=6)
+        b.run_single_pass(clips6k, distributed_verdicts=True)
+        ra, rb = self._rows(spark, a), self._rows(spark, b)
+        assert set(ra) == set(rb)
+        assert ra == rb
+        # per-group rows for both map expectations on all 6 groups,
+        # plus __global__ rows for mean / unique
+        groups = {g for g, _ in ra}
+        assert groups == {str(i) for i in range(6)} | {"__global__"}
+        # the work sink is cleaned up after commit
+        import os
+        assert not os.path.exists(str(tmp_path / "distributed" /
+                                      "_single_pass_work"))
+
+    def test_rollup_agrees_with_direct_validation(self, spark, clips6k,
+                                                  tmp_path):
+        from sparkcheck import validate
+        from sparkcheck.checkpoint import Checkpoint
+        cp = Checkpoint(str(tmp_path / "d2"), self._suite(),
+                        group_key="clip_id", n_groups=4)
+        cp.run_single_pass(clips6k, distributed_verdicts=True)
+        roll = {(r["expectation_type"], r["domain"]): r
+                for r in cp.rollup(spark).collect()}
+        direct = validate(clips6k, self._suite())
+        for evr in direct.results:
+            key = (evr.expectation_config.expectation_type,
+                   evr.expectation_config.kwargs["column"])
+            assert roll[key]["success"] == evr.success, key
+            assert roll[key]["unexpected_count"] == \
+                evr.result.get("unexpected_count", 0) or 0, key
