@@ -1562,6 +1562,106 @@ FROM csz GROUP BY 1
 """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Fuzzy-dedup FINAL step: pairs -> connected components -> one canonical
+    representative per cluster (longest text, tie = min doc_id;
+    dedup.py:canonical_docs). Output: every clustered doc with its cluster
+    and keep/drop flag. Oracle: the recursive-CTE closure + a window over
+    text length — proves representative selection is engine-exact."""
+    from sparkcheck.pipeline.dedup import (canonical_docs, duplicate_clusters,
+                                           jaccard_pairs)
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    labels = duplicate_clusters(pairs)
+    rep = canonical_docs(d, labels, id_col="doc_id", text_col="text")
+    return (rep.join(labels.select("id"), "id", "left_semi")
+            .select("id", "cluster", "keep"))
+
+
+_SQL_DEDUP_CANONICAL = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+s0 AS (SELECT DISTINCT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(ws)-2,0)),
+                            i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+s AS (SELECT s0.* FROM s0
+      JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 1414) k
+      USING (sh)),
+sz AS (SELECT doc_id, count(*) sz FROM s GROUP BY 1),
+p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+jp AS (SELECT ia, ib FROM p
+       JOIN sz sa ON sa.doc_id = p.ia JOIN sz sb ON sb.doc_id = p.ib
+       WHERE 1.0*shared/(sa.sz+sb.sz-shared) >= 0.5),
+edges AS (SELECT ia s, ib d FROM jp UNION SELECT ib, ia FROM jp),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+docs AS (SELECT l.id, l.comp, length(d.text) AS len
+         FROM lab l JOIN documents d ON d.doc_id = l.id),
+r AS (SELECT *, row_number() OVER (PARTITION BY comp ORDER BY len DESC, id) rn
+      FROM docs)
+SELECT id, comp AS cluster, rn = 1 AS keep FROM r
+"""
+
+
+def q_text_quality_filter(spark, sf_dir):
+    """Gopher/C4-style quality gate (text.py:quality_filter): per-lang pass
+    counts + per-rule drop-reason accounting. Thresholds chosen to split the
+    fixture nontrivially (token floor, stopword floor, top-token-share cap).
+    All rule arithmetic is integer-lengths-divided-in-double — identical in
+    DuckDB, so booleans are engine-exact."""
+    from sparkcheck.pipeline.text import quality_filter
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_filter(d, "text", min_tokens=25, max_tokens=100_000,
+                        min_mean_token_len=2.0, max_mean_token_len=12.0,
+                        max_nonalpha_ratio=0.3, min_stopword_ratio=0.05,
+                        max_top_token_ratio=0.12)
+    fails = [(c, F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint"))
+             for c in ("ok_tokens", "ok_mean_len", "ok_nonalpha",
+                       "ok_stopword", "ok_repetition")]
+    return (qf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("passes").cast("int")).cast("bigint").alias("n_pass"),
+        *[e.alias(f"fail_{c[3:]}") for c, e in fails]))
+
+
+_SQL_TEXT_QUALITY_FILTER = f"""
+WITH f AS (
+  SELECT lang,
+    len(string_split(text,' ')) AS n,
+    (length(text) - len(string_split(text,' ')) + 1.0)
+      / len(string_split(text,' ')) AS ml,
+    length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))*1.0
+      / length(text) AS na,
+    len(list_filter(string_split(text,' '), x -> x IN {_STOP_EN}))*1.0
+      / len(string_split(text,' ')) AS sw,
+    list_max(list_transform(list_distinct(string_split(text,' ')),
+             d -> len(list_filter(string_split(text,' '), x -> x = d))))*1.0
+      / len(string_split(text,' ')) AS tr
+  FROM documents),
+r AS (
+  SELECT lang,
+    (n BETWEEN 25 AND 100000) AS ok_tokens,
+    (ml BETWEEN 2.0 AND 12.0) AS ok_mean_len,
+    (na <= 0.3) AS ok_nonalpha,
+    (sw >= 0.05) AS ok_stopword,
+    (tr <= 0.12) AS ok_repetition
+  FROM f)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN ok_tokens AND ok_mean_len AND ok_nonalpha
+           AND ok_stopword AND ok_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(sum(CASE WHEN NOT ok_tokens THEN 1 ELSE 0 END) AS BIGINT) AS fail_tokens,
+  CAST(sum(CASE WHEN NOT ok_mean_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_len,
+  CAST(sum(CASE WHEN NOT ok_nonalpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_nonalpha,
+  CAST(sum(CASE WHEN NOT ok_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+  CAST(sum(CASE WHEN NOT ok_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_repetition
+FROM r GROUP BY 1
+"""
+
+
 # -------------- bootstrapped KS (raw-sample mode; numpy-replay oracle)
 
 _BOOT_PO = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0],
@@ -1818,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "text_quality_filter": q_text_quality_filter,
         "events_sessions": q_events_sessions,
         "text_repetition": q_text_repetition,
         "sim_topk_bruteforce": q_sim_topk,
@@ -1881,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "dedup_canonical": _SQL_DEDUP_CANONICAL,
+        "text_quality_filter": _SQL_TEXT_QUALITY_FILTER,
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "text_repetition": _SQL_TEXT_REPETITION,
         "sim_topk_bruteforce": _SQL_SIM_TOPK,

@@ -421,3 +421,31 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def canonical_docs(df: DataFrame, clusters: DataFrame, *,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Choose one representative per near-duplicate cluster — the standard
+    final step of a fuzzy-dedup pipeline (pairs -> connected components ->
+    keep one, drop the rest). The representative is the LONGEST text, ties
+    broken by minimum id, so the choice is deterministic across engines and
+    partitionings. Docs in no cluster are their own representative.
+
+    Returns (id, cluster, keep): filter keep=true for the deduplicated
+    corpus, keep=false rows are the drop list.
+
+    Scale shape: one shuffle keyed on the cluster label; the per-cluster
+    window is bounded by cluster size (near-dup clusters are small by
+    construction; a giant cluster signals a degenerate threshold — see
+    duplicate_clusters). At 100 TB pass a precomputed length column as
+    ``text_col`` to avoid re-reading the raw text."""
+    lab = clusters.withColumnRenamed("id", id_col) \
+        if "id" in clusters.columns and id_col != "id" else clusters
+    j = (df.select(F.col(id_col), F.length(F.col(text_col)).alias("__len"))
+         .join(lab.select(F.col(id_col), "cluster"), id_col, "left")
+         .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster").orderBy(F.desc("__len"), F.col(id_col))
+    return (j.withColumn("keep", F.row_number().over(w) == 1)
+            .select(F.col(id_col).alias("id"), "cluster", "keep"))

@@ -196,3 +196,50 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.when(n_words > 0, uniq / n_words).alias("unique_word_ratio"),
         F.when(n_bigrams > 0, top_count / n_bigrams).alias("top_bigram_ratio"))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", *,
+                   min_tokens: int = 3, max_tokens: int = 100_000,
+                   min_mean_token_len: float = 2.0,
+                   max_mean_token_len: float = 12.0,
+                   max_nonalpha_ratio: float = 0.3,
+                   min_stopword_ratio: float = 0.0,
+                   max_top_token_ratio: float = 0.5,
+                   lang: str = "en") -> DataFrame:
+    """Gopher/C4-style document-quality gate (Rae et al. 2021 §A1.1.2, C4
+    heuristics): one boolean per rule plus the AND (`passes`) —
+
+    - ok_tokens:      token count in [min_tokens, max_tokens]
+    - ok_mean_len:    mean token length in [min_mean_token_len, max_..]
+    - ok_nonalpha:    non-[a-z0-9 ] character ratio <= max_nonalpha_ratio
+    - ok_stopword:    stopword-hit ratio >= min_stopword_ratio
+    - ok_repetition:  most-frequent-token share <= max_top_token_ratio
+                      (Gopher's repetition family; per-line/ngram variants
+                      live in repetition_features)
+
+    Pure Catalyst — integer lengths divided in IEEE double, identical in
+    DuckDB, so the rule booleans are engine-portable for oracle checks.
+    Map-side only (no shuffle): at 100 TB this is a streaming filter over
+    the scan, and the per-rule booleans make drop-reason accounting a plain
+    aggregation."""
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    mean_len = (F.length(t) - n + 1) / n
+    top_share = (F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda x: x == d)))) / n)
+    return (df
+            .withColumn("ok_tokens", n.between(min_tokens, max_tokens))
+            .withColumn("ok_mean_len",
+                        mean_len.between(min_mean_token_len,
+                                         max_mean_token_len))
+            .withColumn("ok_nonalpha",
+                        nonalpha_ratio(t) <= max_nonalpha_ratio)
+            .withColumn("ok_stopword",
+                        stopword_ratio(t, lang) >= min_stopword_ratio)
+            .withColumn("ok_repetition", top_share <= max_top_token_ratio)
+            .withColumn("passes",
+                        F.col("ok_tokens") & F.col("ok_mean_len")
+                        & F.col("ok_nonalpha") & F.col("ok_stopword")
+                        & F.col("ok_repetition")))

@@ -448,3 +448,69 @@ class TestRepetitionFeatures:
         assert got["c"] == (1.0, None)
         # 'go stop' x2, 'stop go' x2 -> top 2 of 4
         assert got["d"] == (2 / 5, 0.5)
+
+
+class TestCanonicalDocs:
+    def test_longest_wins_tie_min_id(self, spark):
+        from sparkcheck.pipeline.dedup import canonical_docs
+        docs = spark.createDataFrame(
+            [("a", "x" * 10), ("b", "x" * 20), ("c", "x" * 20),
+             ("d", "solo doc")],
+            "doc_id string, text string")
+        clusters = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("c", "a")], "id string, cluster string")
+        got = {r["id"]: (r["cluster"], r["keep"]) for r in
+               canonical_docs(docs, clusters).collect()}
+        # b and c tie at 20 chars -> min id b kept; a dropped
+        assert got["b"] == ("a", True)
+        assert got["c"] == ("a", False)
+        assert got["a"] == ("a", False)
+        # unclustered doc is its own representative
+        assert got["d"] == ("d", True)
+
+    def test_one_keep_per_cluster(self, spark):
+        from sparkcheck.pipeline.dedup import (canonical_docs,
+                                               duplicate_clusters,
+                                               jaccard_pairs)
+        rows = [(f"d{i}", f"the quick item{i//2} alpha{i//2} beta{i//2}")
+                for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = jaccard_pairs(docs, "doc_id", "text", shingle_n=2,
+                              threshold=0.5)
+        labels = duplicate_clusters(pairs)
+        rep = canonical_docs(docs, labels)
+        agg = (rep.groupBy("cluster")
+               .agg(F.sum(F.col("keep").cast("int")).alias("kept")).collect())
+        assert all(r["kept"] == 1 for r in agg)
+        assert rep.count() == 20  # every doc accounted for
+
+
+class TestQualityFilter:
+    def test_rule_booleans(self, spark):
+        from sparkcheck.pipeline.text import quality_filter
+        docs = spark.createDataFrame(
+            [("short", "too few"),
+             ("spam", "buy buy buy buy buy buy buy buy buy buy"),
+             ("noisy", "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
+             ("good", "the quick brown fox jumps over a lazy dog and "
+                      "runs to the hill in the morning light again")],
+            "doc_id string, text string")
+        qf = quality_filter(docs, "text", min_tokens=5,
+                            max_nonalpha_ratio=0.2,
+                            min_stopword_ratio=0.05,
+                            max_top_token_ratio=0.5)
+        got = {r["doc_id"]: r.asDict() for r in qf.collect()}
+        assert not got["short"]["ok_tokens"]
+        assert not got["spam"]["ok_repetition"]  # one token dominates
+        assert not got["noisy"]["ok_nonalpha"]
+        assert got["good"]["passes"]
+        assert not any(got[d]["passes"] for d in ("short", "spam", "noisy"))
+
+    def test_map_side_only(self, spark):
+        """The quality gate must stay a streaming filter — no shuffle."""
+        from sparkcheck.pipeline.text import quality_filter
+        docs = spark.createDataFrame(
+            [("a", "the quick brown fox")], "doc_id string, text string")
+        plan = quality_filter(docs).sample(1.0)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
