@@ -196,3 +196,53 @@ def test_winnow_scan_prunes_and_single_filescan(spark, tmp_path_factory):
     m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
     assert m and "lang" not in m.group(1) and "source" not in m.group(1)
     assert txt.count("FileScan parquet") == 1
+
+
+def test_quality_filter_prunes_scan(spark, tmp_path):
+    """The quality gate must stay a pruned streaming scan: only the columns
+    it actually uses reach ReadSchema, and no Exchange appears."""
+    from sparkcheck.pipeline.text import quality_filter
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [("a", "the quick brown fox", "en", 99)] * 50,
+        "doc_id string, text string, lang string, extra int"
+    ).write.parquet(path)
+    d = spark.read.parquet(path)
+    # the gate itself: pure projection, zero shuffle
+    txt_filter = _executed_plan(quality_filter(d).select("doc_id", "passes"))
+    assert "Exchange" not in txt_filter
+    # column pruning: an aggregation over `passes` only needs `text`
+    agg = quality_filter(d).agg(
+        F.sum(F.col("passes").cast("int")).alias("n_pass"))
+    txt = _executed_plan(agg)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert m, txt[:500]
+    assert "extra" not in m.group(1)
+    assert "doc_id" not in m.group(1)  # only text is needed for the agg
+
+
+def test_verdict_sink_rollup_prunes_binary(spark, tmp_path, clips_path):
+    """Sink-mode per-partition validation must not read the binary column
+    when the suite has no audio expectation (same pruning contract as the
+    collected fused pass)."""
+    from sparkcheck import ExpectationSuite, validate
+    d = spark.read.parquet(clips_path)
+    suite = (ExpectationSuite("s")
+             .add("expect_column_values_to_not_be_null", column="clip_id")
+             .add("expect_column_mean_to_be_between",
+                  column="dur_ms", min_value=0, max_value=10**9))
+    sink = str(tmp_path / "sink")
+    validate(d, suite, per_partition=True, partition_col="codec",
+             partition_verdict_sink=sink)
+    # the sink's rollup parquet carries only __pid + slot columns; re-read
+    # the write's input side via the rollup file schema: slot count is small
+    import pyarrow.parquet as pq
+    import glob
+    rollup = glob.glob(f"{sink}/rollup-domain-*.parquet/*.parquet")
+    assert rollup
+    names = pq.read_schema(rollup[0]).names
+    assert "__pid" in names and len(names) <= 12
+    # and the verdict rows exist for both kinds
+    from sparkcheck.runner import read_partition_verdicts
+    kinds = {r["kind"] for r in read_partition_verdicts(spark, sink).collect()}
+    assert kinds == {"map", "agg"}
