@@ -1252,6 +1252,125 @@ def q_ge_sink_partitions(spark, sf_dir):
                     F.col("unexpected_count").cast("bigint"))
 
 
+def _incremental_suite():
+    from sparkcheck import ExpectationSuite
+    return (
+        ExpectationSuite("inc")
+        .add("expect_table_row_count_to_be_between", min_value=1,
+             max_value=10_000_000_000)
+        .add("expect_column_values_to_not_be_null", column="user_id")
+        .add("expect_column_values_to_be_in_set", column="event_type",
+             value_set=["click", "view", "purchase", "signup"], mostly=0.9)
+        .add("expect_column_values_to_be_in_set", column="event_type",
+             value_set=["click", "view", "purchase", "signup", "error"])
+        .add("expect_column_values_to_be_between", column="value",
+             min_value=0.0, max_value=100.0, mostly=0.5)
+        .add("expect_column_mean_to_be_between", column="value",
+             min_value=10.0, max_value=100.0)
+        .add("expect_column_min_to_be_between", column="value", min_value=0.0)
+        .add("expect_column_max_to_be_between", column="value",
+             max_value=100_000.0)
+        .add("expect_column_sum_to_be_between", column="value", min_value=1.0)
+        .add("expect_column_stdev_to_be_between", column="value",
+             min_value=1.0, max_value=100_000.0)
+    )
+
+
+def q_ge_incremental(spark, sf_dir):
+    """Incremental snapshot validation (sparkcheck/incremental.py): the
+    events table is split into three append 'snapshots' by event_id % 3,
+    each delta is validated ONCE (one fused statistics pass), and the
+    whole-table verdicts are derived by merging the per-snapshot sufficient
+    statistics — the 10^12-row loop where a nightly run only scans new
+    files. Oracle = a FULL-table recompute of every verdict in DuckDB, so
+    equality proves the merge arithmetic (count sums, mean/stdev
+    decompositions, min/max folds) is exact. No GE analogue: the reference
+    re-validates the full batch every checkpoint run
+    (checkpoint/checkpoint.py:202-306)."""
+    import tempfile
+
+    from sparkcheck.incremental import IncrementalCheckpoint
+    ev = _t(spark, sf_dir, "events")
+    inc = IncrementalCheckpoint(
+        _incremental_suite(), tempfile.mkdtemp(prefix="sparkcheck_inc_"))
+    for i in range(3):
+        inc.validate_delta(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                           snapshot_id=f"s{i}")
+    res = inc.merged_result(spark)
+    rows = []
+    for idx, r in enumerate(res.results):
+        kw = r.expectation_config.kwargs
+        ov = r.result.get("observed_value")
+        def _c(v):  # count fields: -1 = not applicable for this kind
+            return -1 if v is None else int(v)
+        rows.append((
+            idx, r.expectation_config.expectation_type,
+            kw.get("column", ""), bool(r.success),
+            _c(r.result.get("element_count")),
+            _c(r.result.get("missing_count")),
+            _c(r.result.get("unexpected_count")),
+            round(float(ov), 4) if isinstance(ov, (int, float)) else -1.0))
+    return spark.createDataFrame(
+        rows, "idx int, expectation_type string, domain string, "
+              "success boolean, element_count bigint, missing_count bigint, "
+              "unexpected_count bigint, observed double")
+
+
+def _opt(v):
+    return None if v is None else int(v)
+
+
+# full-table recompute of the exact verdicts the merged statistics produce;
+# map success replicates mostly_success (vacuous pass on empty/all-null) and
+# agg success replicates validate_metric_value_between on the SAME bounds
+_SQL_GE_INCREMENTAL = """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(user_id) AS nn_u,
+         count(event_type) AS nn_t,
+         count(value) AS nn_v,
+         count(*) FILTER (WHERE event_type IS NOT NULL
+            AND event_type NOT IN ('click','view','purchase','signup')) AS ux_set1,
+         count(*) FILTER (WHERE event_type IS NOT NULL
+            AND event_type NOT IN ('click','view','purchase','signup','error')) AS ux_set2,
+         count(*) FILTER (WHERE value IS NOT NULL
+            AND NOT (value >= 0.0 AND value <= 100.0)) AS ux_btw,
+         avg(value) AS mean_v, min(value) AS min_v, max(value) AS max_v,
+         sum(value) AS sum_v,
+         sqrt((sum(value*value) - sum(value)*sum(value)/count(value))
+              / (count(value)-1)) AS sd_v
+  FROM events)
+SELECT 0 AS idx, 'expect_table_row_count_to_be_between' AS expectation_type,
+       '' AS domain, n >= 1 AND n <= 10000000000 AS success,
+       -1::BIGINT AS element_count, -1::BIGINT AS missing_count,
+       -1::BIGINT AS unexpected_count, round(1.0*n, 4) AS observed FROM s
+UNION ALL SELECT 1, 'expect_column_values_to_not_be_null', 'user_id',
+       n = 0 OR (1.0*(n - (n - nn_u)))/n >= 1.0,
+       n, 0, n - nn_u, -1.0 FROM s
+UNION ALL SELECT 2, 'expect_column_values_to_be_in_set', 'event_type',
+       n = 0 OR nn_t = 0 OR (1.0*(nn_t - ux_set1))/nn_t >= 0.9,
+       n, n - nn_t, ux_set1, -1.0 FROM s
+UNION ALL SELECT 3, 'expect_column_values_to_be_in_set', 'event_type',
+       n = 0 OR nn_t = 0 OR (1.0*(nn_t - ux_set2))/nn_t >= 1.0,
+       n, n - nn_t, ux_set2, -1.0 FROM s
+UNION ALL SELECT 4, 'expect_column_values_to_be_between', 'value',
+       n = 0 OR nn_v = 0 OR (1.0*(nn_v - ux_btw))/nn_v >= 0.5,
+       n, n - nn_v, ux_btw, -1.0 FROM s
+UNION ALL SELECT 5, 'expect_column_mean_to_be_between', 'value',
+       mean_v >= 10.0 AND mean_v <= 100.0, -1, -1, -1,
+       round(mean_v, 4) FROM s
+UNION ALL SELECT 6, 'expect_column_min_to_be_between', 'value',
+       min_v >= 0.0, -1, -1, -1, round(min_v, 4) FROM s
+UNION ALL SELECT 7, 'expect_column_max_to_be_between', 'value',
+       max_v <= 100000.0, -1, -1, -1, round(max_v, 4) FROM s
+UNION ALL SELECT 8, 'expect_column_sum_to_be_between', 'value',
+       sum_v >= 1.0, -1, -1, -1, round(sum_v, 4) FROM s
+UNION ALL SELECT 9, 'expect_column_stdev_to_be_between', 'value',
+       sd_v >= 1.0 AND sd_v <= 100000.0, -1, -1, -1,
+       round(sd_v, 4) FROM s
+"""
+
+
 def q_text_tokens(spark, sf_dir):
     """Token counting per language (integer outputs — exact parity)."""
     d = _t(spark, sf_dir, "documents")
@@ -1928,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_hyperplane": q_sim_lsh_hyperplane,
         "sim_pairwise_cell": q_sim_pairwise_cell,
         "ge_sink_partitions": q_ge_sink_partitions,
+        "ge_incremental": q_ge_incremental,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -2054,4 +2174,5 @@ def _audio_oracle_sql() -> dict[str, str]:
             "domain, success, CAST(unexpected_count AS BIGINT) AS unexpected_count "
             f"FROM (VALUES\n  {pv_rows}\n) "
             "AS t(partition_id, expectation_type, domain, success, unexpected_count)"),
+        "ge_incremental": _SQL_GE_INCREMENTAL,
     }

@@ -265,6 +265,41 @@ def run_at(cpus: int, meta: str, snr: str, ref: str) -> dict:
         spark.stop()
 
 
+def _bw_stream(_):
+    """One worker of the bandwidth control: read+write a 64 MB numpy array
+    for 2 s, return bytes/s. Module-level so Pool can pickle it."""
+    import numpy as np
+    a = np.zeros(64_000_000 // 8)
+    t0 = time.time()
+    total = 0
+    while time.time() - t0 < 2.0:
+        a += 1.0
+        total += a.nbytes * 2
+    return total / (time.time() - t0)
+
+
+def _bandwidth_control() -> dict:
+    """Box-condition control: aggregate read+write memory bandwidth at N and
+    4N workers (numpy stream over a 64 MB working set — no Spark, no disk).
+    The engine's 16-core levels are bandwidth-hungry (binary scans, hash
+    joins); on this shared VM the aggregate ceiling is robbed by co-tenants
+    WITHOUT showing up in steal jiffies (measured in round 4: the same code
+    scaled 0.85 when the box streamed at 0.83 N->4N and 0.33 when the box
+    itself streamed at 0.58). Recording the control per run makes 'the code
+    stopped scaling' vs 'the box stopped scaling' auditable from the JSON."""
+    import multiprocessing as mp
+
+    rates = {}
+    for w in (CPU_LO, CPU_HI):
+        with mp.Pool(w) as p:
+            rates[w] = sum(p.map(_bw_stream, range(w))) / 1e9
+    return {
+        "bw_gbps_at_N": round(rates[CPU_LO], 1),
+        "bw_gbps_at_4N": round(rates[CPU_HI], 1),
+        "bw_scaling": round(rates[CPU_HI] / rates[CPU_LO] / (CPU_HI / CPU_LO), 3),
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         # child mode: one parallelism level in a clean JVM
@@ -303,8 +338,10 @@ def main() -> None:
                 return json.loads(line[len("SCALERESULT "):])
         raise RuntimeError(f"child cpus={cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
+    bw_before = _bandwidth_control()
     lo = child(CPU_LO)
     hi = child(CPU_HI)
+    bw_after = _bandwidth_control()
     factor = CPU_HI / CPU_LO
     eff_meta = (hi["meta_clips_per_sec"] / lo["meta_clips_per_sec"]) / factor
     eff_snr = (hi["snr_clips_per_sec"] / lo["snr_clips_per_sec"]) / factor
@@ -349,6 +386,7 @@ def main() -> None:
             "scaling_efficiency": round(eff_pm, 3),
         },
         "verdicts_identical_across_sizes": lo["verdicts"] == hi["verdicts"],
+        "box_bandwidth_control": {"before": bw_before, "after": bw_after},
         "unit": "clips/sec",
         "methodology": (
             "page cache explicitly warmed before timing (single shared "

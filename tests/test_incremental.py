@@ -1,0 +1,245 @@
+"""Incremental snapshot validation: merged sufficient statistics must equal
+a full-table recompute, field for field, for every mergeable kind — and the
+non-mergeable kinds must be declared, not silently wrong."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcheck import ExpectationSuite, validate
+from sparkcheck.incremental import IncrementalCheckpoint
+from sparkcheck.io import write_table
+
+
+def _suite() -> ExpectationSuite:
+    return (
+        ExpectationSuite("inc")
+        .add("expect_table_row_count_to_be_between", min_value=1,
+             max_value=10_000)
+        .add("expect_column_values_to_not_be_null", column="user")
+        .add("expect_column_values_to_be_in_set", column="kind",
+             value_set=["a", "b", "c"], mostly=0.5)
+        .add("expect_column_values_to_be_between", column="v",
+             min_value=0, max_value=500, mostly=0.8)
+        .add("expect_column_mean_to_be_between", column="v",
+             min_value=0, max_value=1000)
+        .add("expect_column_min_to_be_between", column="v", min_value=-10)
+        .add("expect_column_max_to_be_between", column="v", max_value=10_000)
+        .add("expect_column_sum_to_be_between", column="v", min_value=0)
+        .add("expect_column_stdev_to_be_between", column="v",
+             min_value=0, max_value=10_000)
+        .add("expect_column_distinct_values_to_be_in_set", column="kind",
+             value_set=["a", "b", "c", "d"])
+        .add("expect_column_kl_divergence_to_be_less_than", column="v",
+             partition_object={"bins": [0.0, 100.0, 200.0, 400.0],
+                               "weights": [0.3, 0.4, 0.3]},
+             threshold=2.5)
+        .add("expect_column_to_exist", column="kind")
+    )
+
+
+def _mkdf(spark, lo, hi, dup_user=False):
+    """Deterministic integer-valued slice [lo, hi): integer sums make the
+    merged mean/stddev arithmetic EXACTLY equal to the full recompute."""
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("event"),
+        F.when(F.col("id") % 17 == 3, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id") % (7 if dup_user else 1_000_000)))
+        .alias("user"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("z")),
+                     (F.col("id") % 4 + 1).cast("int")).alias("kind"),
+        (F.col("id") % 601).cast("double").alias("v"),
+    )
+    return df
+
+
+@pytest.fixture()
+def snap_table(spark, tmp_path):
+    """Three append snapshots of the same deterministic generator."""
+    path = str(tmp_path / "snaptab")
+    write_table(_mkdf(spark, 0, 1000), path, snapshot_id="s1")
+    write_table(_mkdf(spark, 1000, 2500), path, snapshot_id="s2", mode="append")
+    write_table(_mkdf(spark, 2500, 3000), path, snapshot_id="s3", mode="append")
+    return path
+
+
+def _by_key(result):
+    out = {}
+    for r in result.results:
+        kw = r.expectation_config.kwargs
+        key = (r.expectation_config.expectation_type,
+               kw.get("column") or ",".join(kw.get("column_list", [])) or "")
+        out[key] = r
+    return out
+
+
+def test_merged_equals_full_recompute(spark, tmp_path, snap_table):
+    suite = _suite()
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    ran = inc.validate_table(spark, snap_table)
+    assert ran["validated_now"] == ["s1", "s2", "s3"]
+
+    merged = _by_key(inc.merged_result(spark))
+    full_df = _mkdf(spark, 0, 3000)
+    full = _by_key(validate(full_df, suite))
+
+    assert len(merged) == len(full) == 12
+    for key, m in merged.items():
+        f = full[key]
+        assert m.success == f.success, key
+        for field in ("element_count", "missing_count", "unexpected_count"):
+            if field in f.result:
+                assert m.result.get(field) == f.result.get(field), (key, field)
+        if "observed_value" in f.result:
+            fo, mo = f.result["observed_value"], m.result["observed_value"]
+            if isinstance(fo, float):
+                assert mo == pytest.approx(fo, rel=1e-12), key
+            elif key[0] != "expect_column_to_exist":
+                assert mo == fo, key
+
+
+def test_merged_verdict_flips_with_late_delta(spark, tmp_path):
+    """A mean bound that holds on snapshot 1 must FAIL after an appended
+    delta shifts the merged mean — the exact bug a wrong merge would hide."""
+    path = str(tmp_path / "flip")
+    write_table(spark.range(0, 100).select(
+        (F.col("id") % 10).cast("double").alias("v"),
+        F.lit("u").alias("user"), F.lit("a").alias("kind")), path,
+        snapshot_id="s1")
+    suite = ExpectationSuite("flip").add(
+        "expect_column_mean_to_be_between", column="v", max_value=20.0)
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    inc.validate_table(spark, path)
+    assert inc.merged_result().results[0].success is True
+
+    write_table(spark.range(0, 100).select(
+        F.lit(1000.0).alias("v"), F.lit("u").alias("user"),
+        F.lit("a").alias("kind")), path, snapshot_id="s2", mode="append")
+    inc.validate_table(spark, path)
+    r = inc.merged_result().results[0]
+    assert r.success is False
+    # merged mean of 100x(0..9 cycle) + 100x1000 = (450 + 100000) / 200
+    assert r.result["observed_value"] == pytest.approx(502.25)
+
+
+def test_uniqueness_merges_as_hll_prescreen(spark, tmp_path):
+    path = str(tmp_path / "uni")
+    # s1: unique users; s2 re-appends the SAME users => cross-snapshot dups
+    # that no per-delta exact check could see
+    df1 = spark.range(0, 4000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user"))
+    write_table(df1, path, snapshot_id="s1")
+    write_table(df1, path, snapshot_id="s2", mode="append")
+    suite = ExpectationSuite("u").add(
+        "expect_column_values_to_be_unique", column="user")
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    inc.validate_table(spark, path)
+    r = inc.merged_result(spark).results[0]
+    assert r.success is False
+    assert r.result["details"]["strategy"] == "hll_prescreen_incremental"
+    # HLL estimate of 4000 distinct among 8000 rows: est_dups ~ 4000
+    assert r.result["unexpected_count"] == pytest.approx(4000, rel=0.05)
+
+    # clean case: disjoint appends stay unique
+    path2 = str(tmp_path / "uni2")
+    write_table(df1, path2, snapshot_id="s1")
+    write_table(spark.range(4000, 8000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user")), path2,
+        snapshot_id="s2", mode="append")
+    inc2 = IncrementalCheckpoint(suite, str(tmp_path / "store2"))
+    inc2.validate_table(spark, path2)
+    assert inc2.merged_result(spark).results[0].success is True
+
+
+def test_unsupported_kinds_are_declared_not_wrong(spark, tmp_path):
+    suite = (ExpectationSuite("mix")
+             .add("expect_column_values_to_not_be_null", column="user")
+             .add("expect_column_median_to_be_between", column="v",
+                  min_value=0)
+             .add("expect_column_values_to_be_increasing", column="v"))
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    reasons = {u["expectation_type"]: u["reason"] for u in inc.unsupported()}
+    assert set(reasons) == {"expect_column_median_to_be_between",
+                            "expect_column_values_to_be_increasing"}
+    with pytest.raises(ValueError, match="non-mergeable"):
+        IncrementalCheckpoint(suite, str(tmp_path / "s2"), strict=True)
+
+    path = str(tmp_path / "t")
+    write_table(_mkdf(spark, 0, 100), path, snapshot_id="s1")
+    inc.validate_table(spark, path)
+    res = inc.merged_result()
+    assert len(res.results) == 1  # only the mergeable one
+    assert [u["expectation_type"] for u in
+            res.meta["incremental"]["unsupported"]] == [
+        "expect_column_median_to_be_between",
+        "expect_column_values_to_be_increasing"]
+
+
+def test_revalidation_is_idempotent_and_resumable(spark, tmp_path, snap_table):
+    suite = _suite()
+    store = str(tmp_path / "store")
+    inc = IncrementalCheckpoint(suite, store)
+    inc.validate_table(spark, snap_table)
+    before = inc.merged_result(spark)
+    # a second walk validates nothing new and changes nothing
+    assert inc.validate_table(spark, snap_table)["validated_now"] == []
+    # a NEW IncrementalCheckpoint over the same store resumes seamlessly
+    inc2 = IncrementalCheckpoint(suite, store)
+    after = inc2.merged_result(spark)
+    assert [(r.success, r.result.get("observed_value"))
+            for r in before.results] == [
+        (r.success, r.result.get("observed_value")) for r in after.results]
+
+
+def test_suite_change_is_refused(spark, tmp_path, snap_table):
+    store = str(tmp_path / "store")
+    inc = IncrementalCheckpoint(_suite(), store)
+    inc.validate_table(spark, snap_table)
+    other = ExpectationSuite("other").add(
+        "expect_column_values_to_not_be_null", column="user")
+    with pytest.raises(ValueError, match="different suite"):
+        IncrementalCheckpoint(other, store).merged_result()
+
+
+def test_categorical_drift_out_of_set_raises(spark, tmp_path):
+    path = str(tmp_path / "cat")
+    write_table(_mkdf(spark, 0, 100), path, snapshot_id="s1")  # kind has 'z'
+    suite = ExpectationSuite("cat").add(
+        "expect_column_kl_divergence_to_be_less_than", column="kind",
+        partition_object={"values": ["a", "b", "c"],
+                          "weights": [0.4, 0.3, 0.3]},
+        threshold=2.0)
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    inc.validate_table(spark, path)
+    with pytest.raises(ValueError, match="outside the expected set"):
+        inc.merged_result()
+
+
+def test_row_condition_domains_merge(spark, tmp_path):
+    path = str(tmp_path / "rc")
+    write_table(_mkdf(spark, 0, 1000), path, snapshot_id="s1")
+    write_table(_mkdf(spark, 1000, 2000), path, snapshot_id="s2",
+                mode="append")
+    suite = ExpectationSuite("rc").add(
+        "expect_column_values_to_be_between", column="v",
+        min_value=0, max_value=100, mostly=0.1,
+        row_condition='kind == "a"', condition_parser="spark")
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    inc.validate_table(spark, path)
+    m = inc.merged_result().results[0]
+    f = validate(_mkdf(spark, 0, 2000), suite).results[0]
+    assert (m.success, m.result["element_count"],
+            m.result["unexpected_count"]) == (
+        f.success, f.result["element_count"], f.result["unexpected_count"])
+
+
+def test_stats_file_is_small(spark, tmp_path, snap_table):
+    """The per-snapshot artifact must stay KB-sized regardless of delta rows
+    — that is the entire point at 10^12 rows."""
+    inc = IncrementalCheckpoint(_suite(), str(tmp_path / "store"))
+    inc.validate_table(spark, snap_table)
+    for sid in ("s1", "s2", "s3"):
+        sz = os.path.getsize(str(tmp_path / "store" / "stats" / f"{sid}.json"))
+        assert sz < 16_384, sz
