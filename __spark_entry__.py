@@ -1949,6 +1949,27 @@ def q_audio_header_check(spark, sf_dir):
         "element_count bigint, unexpected_count bigint, success boolean")
 
 
+def q_audio_transcript_rate(spark, sf_dir):
+    """Audio x transcript consistency: transcript words-per-second vs clip
+    duration (expect_transcript_words_per_second_to_be_between) — a pure
+    Catalyst pair condition fused into the metadata agg pass, zero binary
+    read. Oracle = fixture_math.expected_transcript_rate_summary (numpy
+    replay of the generator's word counts and durations; wps computed with
+    the identical single float64 division)."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    dirty = generate_audio_clips(spark, 20_000, with_bytes=False,
+                                 num_partitions=8)
+    r = validate(dirty, ExpectationSuite("wps").add(
+        "expect_transcript_words_per_second_to_be_between",
+        min_wps=1.0, max_wps=40.0)).results[0]
+    return spark.createDataFrame(
+        [(int(r.result["element_count"]), int(r.result["missing_count"]),
+          int(r.result["unexpected_count"]), bool(r.success))],
+        "element_count bigint, missing_count bigint, "
+        "unexpected_count bigint, success boolean")
+
+
 def q_audio_frame_rms(spark, sf_dir):
     """Frame-sampled RMS (video-frame-sampling analogue); oracle = io.expected_frame_rms_summary."""
     from sparkcheck.io import generate_audio_clips
@@ -2059,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_suite_partitions": q_audio_suite_partitions,
         "audio_features": q_audio_features,
         "audio_header_check": q_audio_header_check,
+        "audio_transcript_rate": q_audio_transcript_rate,
         "audio_frame_rms": q_audio_frame_rms,
     }
 
@@ -2135,10 +2157,17 @@ def _audio_oracle_sql() -> dict[str, str]:
                                          expected_header_summary,
                                          expected_partition_verdicts,
                                          expected_payload_summary,
-                                         expected_snr_summary)
+                                         expected_snr_summary,
+                                         expected_transcript_rate_summary)
 
     def counts_sql(s: dict) -> str:
         return (f"SELECT CAST({s['element_count']} AS BIGINT) AS element_count, "
+                f"CAST({s['unexpected_count']} AS BIGINT) AS unexpected_count, "
+                f"{str(bool(s['success'])).upper()} AS success")
+
+    def _wps_sql(s: dict) -> str:
+        return (f"SELECT CAST({s['element_count']} AS BIGINT) AS element_count, "
+                f"CAST({s['missing_count']} AS BIGINT) AS missing_count, "
                 f"CAST({s['unexpected_count']} AS BIGINT) AS unexpected_count, "
                 f"{str(bool(s['success'])).upper()} AS success")
 
@@ -2152,6 +2181,7 @@ def _audio_oracle_sql() -> dict[str, str]:
         "audio_snr_invariant": counts_sql(expected_snr_summary(3000)),
         "audio_payload_match": counts_sql(expected_payload_summary(3000)),
         "audio_header_check": counts_sql(expected_header_summary(4000)),
+        "audio_transcript_rate": _wps_sql(expected_transcript_rate_summary(20_000)),
         "audio_features": (
             f"SELECT CAST({feats['n_clips']} AS BIGINT) AS n_clips, "
             f"CAST({feats['decoded']} AS BIGINT) AS decoded, "

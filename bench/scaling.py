@@ -159,12 +159,30 @@ def _warm_page_cache(dirs) -> float:
     return time.time() - t0
 
 
-def _timed(fn, attempts: int = 3):
-    """Time fn(); retry when hypervisor steal poisons the window. A run is
-    clean when steal during it stays under ~10% of one core (max(50, 10*sec)
-    jiffies). Returns (sec, result, steal_jiffies, tries). Keeps the fastest
-    attempt if none is clean — with its steal count, so the poisoning is
-    visible in the output rather than silently folded into 'Spark got slower'."""
+def _timed(fn, attempts: int = 3, warmup: bool = True):
+    """Time fn() WARM; retry when hypervisor steal poisons the window.
+
+    Warm steady-state by design (r4 methodology fix): one full untimed
+    execution first, then the fastest clean timed attempt. Rationale — the
+    first full execution in a JVM pays whole-stage-codegen compilation and
+    C2 JIT on all N threads at once; at 16 threads that cold tax measured
+    30-70% of the entire run and made 4N levels look SLOWER than N
+    (payload join: 32 s at N=4 vs 48 s at 4N=16 cold, both ~18 s warm).
+    Round-3's recorded numbers were de-facto warm already (their clean
+    attempts were retries 2-3 after steal-poisoned full runs — tries
+    [2,3]/[3,2] in the committed JSON); making warmup explicit makes the
+    measurement reproducible instead of an accident of storm timing. Warm
+    steady-state is also the number the scaling rule is about: a 10^12-row
+    job amortizes JIT in its first seconds, and per-executor steady
+    throughput is what extrapolates to a real N->4N cluster.
+
+    A timed run is clean when steal during it stays under ~10% of one core
+    (max(50, 10*sec) jiffies). Returns (sec, result, steal_jiffies, tries).
+    Keeps the fastest attempt if none is clean — with its steal count, so
+    the poisoning is visible in the output rather than silently folded into
+    'Spark got slower'."""
+    if warmup:
+        fn()
     best = None
     for i in range(attempts):
         s0, t0 = _steal_jiffies(), time.time()

@@ -340,3 +340,34 @@ _reg(ExpectationSpec(
 _reg(ExpectationSpec(
     "expect_audio_header_to_match_metadata", "audio",
     extra={"handler": "header"}, defaults=dict(_MOSTLY)))
+
+# audio x transcript consistency: transcript word rate vs clip duration.
+# Pure-Catalyst pair condition over (transcript, dur_ms) — fused into the
+# single metadata agg pass, zero binary read (unlike the decode-path audio
+# kinds above), and mergeable for incremental validation since it is a plain
+# map kind. Ours: the reference has no multimodal consistency operators; the
+# kwarg contract (column_A/column_B + mostly) mirrors its pair expectations
+# (column_pair_map_expectation, expectation.py:2097-2185).
+
+
+def _words_per_second(kw: dict) -> Column:
+    tr = F.trim(F.col(kw["column_A"]))
+    words = F.when(tr == "", F.lit(0)).otherwise(F.size(F.split(tr, r"\s+")))
+    # try_divide: NULL (not an ANSI error) on dur_ms == 0; the condition's
+    # (dur_ms > 0) conjunct already marks those rows unexpected
+    return F.try_divide(words.cast("double"),
+                        F.col(kw["column_B"]).cast("double") / 1000.0)
+
+
+_reg(ExpectationSpec(
+    "expect_transcript_words_per_second_to_be_between", "map",
+    condition=lambda kw: (F.col(kw["column_B"]) > 0)
+    & _words_per_second(kw).between(kw["min_wps"], kw["max_wps"]),
+    nonnull=lambda kw: (F.col(kw["column_A"]).isNotNull()
+                        & F.col(kw["column_B"]).isNotNull()),
+    sample_value=lambda kw: F.struct(
+        F.substring(F.col(kw["column_A"]), 1, 40).alias("transcript_head"),
+        F.col(kw["column_B"]).alias("dur_ms"),
+        F.round(_words_per_second(kw), 3).alias("wps")),
+    defaults={**_MOSTLY, "column_A": "transcript", "column_B": "dur_ms",
+              "min_wps": 1.0, "max_wps": 40.0}))

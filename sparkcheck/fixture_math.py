@@ -165,6 +165,29 @@ def expected_header_summary(n_rows: int) -> dict:
             "success": int(bad.sum()) == 0}
 
 
+def expected_transcript_rate_summary(n_rows: int, *, min_wps: float = 1.0,
+                                     max_wps: float = 40.0) -> dict:
+    """(element, missing, unexpected) for
+    expect_transcript_words_per_second_to_be_between on the dirty table:
+    word counts replay the generator exactly (base n_words from the
+    EFFECTIVE index — duplicates copy row i-1 — plus one word where the
+    ' corrupted' suffix was appended), wps = words / (dur_ms/1000) in the
+    same float64 single-division arithmetic Spark uses, null transcripts
+    fall outside the domain."""
+    m = _violation_masks(n_rows)
+    i = m["i"]
+    eff = np.where(m["dup"] & (i > 0), i - 1, i)
+    base = _base_fields(eff, 42)
+    words = base["n_words"] + ((m["diff_tr"] & ~m["null_tr"]).astype(np.int64))
+    wps = words.astype(np.float64) / (base["dur_ms"].astype(np.float64) / 1000.0)
+    nonnull = ~m["null_tr"]
+    bad = nonnull & ~((wps >= min_wps) & (wps <= max_wps))
+    return {"element_count": n_rows,
+            "missing_count": int((~nonnull).sum()),
+            "unexpected_count": int(bad.sum()),
+            "success": int(bad.sum()) == 0}
+
+
 def expected_partition_verdicts(n_rows: int, num_partitions: int) -> list[dict]:
     """Per-partition verdict rows for the metadata contract suite
     (not_null clip_id / between sr_hz 8000..48000 / in_set codec).

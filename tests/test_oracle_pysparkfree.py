@@ -51,6 +51,7 @@ print(json.dumps({
 _AUDIO_KEYS = {
     "audio_snr_invariant", "audio_payload_match", "audio_suite_partitions",
     "audio_features", "audio_header_check", "audio_frame_rms",
+    "audio_transcript_rate",
 }
 
 
