@@ -1371,6 +1371,59 @@ UNION ALL SELECT 9, 'expect_column_stdev_to_be_between', 'value',
 """
 
 
+def q_sim_ivf_trained(spark, sf_dir):
+    """Distributed-Lloyd IVF training (train_ivf_centroids: E-step = pure
+    Catalyst argmin against broadcast centroid literals, zero shuffles and
+    zero UDFs; M-step = posexplode groupBy per (cell, pos) — k x dim partial
+    sums per partition regardless of row count) followed by the trained
+    assignment. Init = the k vectors with the smallest vec_id, 3 fixed
+    iterations (tol=0 disables early exit). Oracle: the ENTIRE Lloyd loop
+    replayed independently in DuckDB as an unrolled CTE chain over the same
+    table — assignment ties break to the lowest cell on 6-digit-rounded
+    squared-L2 in both engines."""
+    from sparkcheck.pipeline.similarity import (assign_ivf_cells,
+                                                train_ivf_centroids)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=4, max_iter=3, tol=0.0)
+    return (assign_ivf_cells(emb, cents, out_col="cell")
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    F.col("cell").cast("int").alias("cell")))
+
+
+def _ivf_trained_sql(k: int = 4, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations in pure SQL: c0 = the k smallest-id vectors;
+    each iteration assigns every row to its nearest centroid (argmin over
+    the cross join, row_number tie-break on rounded distance then label) and
+    recomputes per-cell per-position means; empty cells keep the previous
+    centroid (same degeneracy rule as the engine)."""
+    dist = ("round(list_sum(list_transform(list_zip(c.cent, e.embedding), "
+            "x -> (x[1] - CAST(x[2] AS DOUBLE))**2)), 6)")
+    dim = "(SELECT max(len(embedding)) FROM embeddings)"
+    parts = [
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lab, "
+        f"list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})"]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, lab, embedding FROM ("
+            f"SELECT e.vec_id, c.lab, e.embedding, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.lab) rn "
+            f"FROM embeddings e CROSS JOIN c{i} c) WHERE rn = 1)")
+        parts.append(
+            f"m{i + 1} AS (SELECT lab, list(m ORDER BY pos) AS cent FROM ("
+            f"SELECT a.lab, p.pos, avg(CAST(a.embedding[p.pos+1] AS DOUBLE)) AS m "
+            f"FROM a{i} a CROSS JOIN (SELECT unnest(range({dim})) AS pos) p "
+            f"GROUP BY a.lab, p.pos) GROUP BY lab)")
+        parts.append(
+            f"c{i + 1} AS (SELECT c.lab, coalesce(m.cent, c.cent) AS cent "
+            f"FROM c{i} c LEFT JOIN m{i + 1} m USING (lab))")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT vec_id, CAST(lab AS INT) AS cell FROM ("
+            f"SELECT e.vec_id, c.lab, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.lab) rn "
+            f"FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1")
+
+
 def q_text_tokens(spark, sf_dir):
     """Token counting per language (integer outputs — exact parity)."""
     d = _t(spark, sf_dir, "documents")
@@ -2066,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_label": q_sim_ivf,
         "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
         "sim_lsh_hyperplane": q_sim_lsh_hyperplane,
+        "sim_ivf_trained": q_sim_ivf_trained,
         "sim_pairwise_cell": q_sim_pairwise_cell,
         "ge_sink_partitions": q_ge_sink_partitions,
         "ge_incremental": q_ge_incremental,
@@ -2133,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_label": _SQL_SIM_IVF,
         "sim_ivf_multiprobe": _SQL_SIM_IVF_MULTIPROBE,
         "sim_lsh_hyperplane": _sim_lsh_sql(),
+        "sim_ivf_trained": _ivf_trained_sql(),
         "sim_pairwise_cell": _SQL_SIM_PAIRWISE_CELL,
         "text_tokens": _SQL_TEXT_TOKENS,
         "text_quality": _SQL_TEXT_QUALITY,

@@ -215,3 +215,75 @@ def hyperplane_lsh_topk(df: DataFrame, query: DataFrame, *,
     return (scored.select(id_col, "sim")
             .orderBy(F.desc("sim"), F.col(id_col))
             .limit(k))
+
+
+# ------------------------------------------------------------ IVF training
+
+def assign_ivf_cells(df: DataFrame, centroids: list[list[float]], *,
+                     vec_col: str = "embedding", out_col: str = "label",
+                     round_digits: int = 6) -> DataFrame:
+    """Nearest-centroid assignment as a pure Catalyst expression: squared-L2
+    distance to each broadcast centroid literal via a `transform` over the
+    literal centroid array (zip_with/aggregate fold, JVM codegen, no UDF),
+    label = first index of the minimum ROUNDED distance (deterministic
+    across partitionings and engines; ties break to the lowest cell index).
+    Map-side only — the assignment adds zero shuffles, so at 100 TB it
+    pipelines into whatever write/repartition follows."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cents = ("array(" + ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+        for c in centroids) + ")")
+    dists = (f"transform({cents}, c -> round(aggregate("
+             f"zip_with(c, {vec_col}, (x, y) -> (x - cast(y AS double)) "
+             f"* (x - cast(y AS double))), 0D, (acc, v) -> acc + v), "
+             f"{round_digits}))")
+    label = (f"cast(array_position({dists}, array_min({dists})) AS int) - 1")
+    return df.withColumn(out_col, F.expr(label))
+
+
+def train_ivf_centroids(df: DataFrame, *, k: int = 8,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        max_iter: int = 10, tol: float = 1e-6,
+                        init: list[list[float]] | None = None) -> list[list[float]]:
+    """Train the IVF coarse quantizer with DISTRIBUTED Lloyd iterations:
+
+    - E-step: `assign_ivf_cells` — nearest-centroid labels computed map-side
+      against the broadcast centroid literals (no UDF, no shuffle).
+    - M-step: `cell_centroids` — per-cell element-wise means via
+      posexplode + groupBy(cell, pos), ONE (cell, pos)-key shuffle whose
+      reduce input is k x dim partial sums per partition (map-side combine),
+      independent of row count.
+
+    Each iteration therefore costs one scan + one tiny shuffle, and only
+    k x dim doubles ever reach the driver — the update loop is
+    driver-coordinated but the data never is, which is the shape that holds
+    at 10^12 rows. Init defaults to the k vectors with the smallest
+    `id_col` (deterministic and replayable by any engine; pass `init` to
+    seed differently, e.g. a kmeans++ sample). An empty cell keeps its
+    previous centroid (standard Lloyd degeneracy handling). Returns the
+    centroid list — feed it to `assign_ivf_cells` / embed it as literals in
+    an oracle, exactly like the LSH plane literals."""
+    if init is None:
+        rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+        if len(rows) < k:
+            raise ValueError(f"need at least k={k} rows to initialize")
+        cents = [[float(v) for v in r[vec_col]] for r in rows]
+    else:
+        cents = [[float(v) for v in c] for c in init]
+        if len(cents) != k:
+            raise ValueError("init must supply exactly k centroids")
+    for _ in range(max_iter):
+        assigned = assign_ivf_cells(df, cents, vec_col=vec_col,
+                                    out_col="__cell")
+        means = {int(r["cell"]): [float(v) for v in r["centroid"]]
+                 for r in cell_centroids(assigned, vec_col=vec_col,
+                                         cell_col="__cell").collect()}
+        new = [means.get(i, cents[i]) for i in range(k)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(cn, co)) ** 0.5
+            for cn, co in zip(new, cents))
+        cents = new
+        if shift < tol:
+            break
+    return cents
