@@ -35,15 +35,22 @@ noted):
 - schema checks — evaluated per delta, folded by AND (sound for append-only
   tables: every file ever written satisfied the check).
 
+- audio invariants (SNR/payload/header) and referential checks — mergeable
+  with ``frozen_reference=True`` (+ ``tables=``): each delta runs its own
+  prescreen-join/anti-join job against the reference table and the
+  map-shaped (element, nonnull, unexpected) counts sum exactly, PROVIDED the
+  reference table does not change between deltas (the caller asserts this;
+  a grown reference could legalize a previously-orphaned FK value, making
+  old counts stale). This is the 10^12-clip loop for the north-rule audio
+  table: only newly appended clips are decoded.
+
 NOT mergeable, reported in ``unsupported`` (run a full validation for these):
 median/quantiles (Spark's percentile sketch is not exportable), z-score
 (defined against the evolving global mean/std — old rows' verdicts change
 when data appends), increasing/decreasing windows (order spans snapshots),
-exact uniqueness / unique_proportion / exact unique_value_count, referential
-(the delta joins correctly, but a *reference-table* change invalidates old
-verdicts), audio invariants (same: per-delta runs are the supported path via
-``Checkpoint``), bootstrapped KS and auto-partition KL (raw-sample /
-batch-derived partitions).
+exact uniqueness / unique_proportion / exact unique_value_count,
+referential/audio without the frozen-reference opt-in, bootstrapped KS and
+auto-partition KL (raw-sample / batch-derived partitions).
 
 The per-snapshot stats file is a few KB of JSON regardless of delta size;
 merging is driver-side arithmetic plus (only when uniqueness is present) one
@@ -103,10 +110,21 @@ class _Unsupported(Exception):
     pass
 
 
-def _classify_item(item: CompiledItem) -> str:
+def _classify_item(item: CompiledItem, *,
+                   frozen_reference: bool = False) -> str:
     """-> merge strategy name, or raise _Unsupported(reason)."""
     kind = item.spec.kind
     etype = item.config.expectation_type
+    if kind in ("audio", "referential"):
+        if not frozen_reference:
+            raise _Unsupported(
+                f"{kind} counts merge only while the reference table is "
+                "unchanged between deltas — opt in with "
+                "frozen_reference=True (and pass tables=)")
+        if (kind == "referential"
+                and item.spec.extra.get("handler") == "row_count_other_table"):
+            return "rowcount_vs_other"
+        return "job_counts"
     if kind == "map":
         return "map"
     if kind == "agg":
@@ -152,10 +170,6 @@ def _classify_item(item: CompiledItem) -> str:
             "changes when data appends — old rows' verdicts are not stable")
     if kind == "map_window":
         raise _Unsupported("window order spans snapshot boundaries")
-    if kind == "referential":
-        raise _Unsupported(
-            "per-delta referential counts merge only while the reference "
-            "table is frozen; use Checkpoint for the per-delta runs")
     raise _Unsupported(f"kind {kind!r} needs raw rows, not statistics")
 
 
@@ -172,17 +186,21 @@ class IncrementalCheckpoint:
     """
 
     def __init__(self, suite: ExpectationSuite, store_path: str, *,
-                 result_format: str = "BASIC", strict: bool = False) -> None:
+                 result_format: str = "BASIC", strict: bool = False,
+                 tables: dict | None = None,
+                 frozen_reference: bool = False) -> None:
         self.suite = suite
         self.store_path = store_path
         self.result_format = result_format
+        self.tables = tables or {}
         self._fp = _suite_fingerprint(suite)
         self._plan = compile_suite(suite.expectations)
         self._strategy: dict[int, str] = {}   # id(config) -> strategy
         self._unsupported: list[dict] = []
         for item in self._iter_items():
             try:
-                self._strategy[id(item.config)] = _classify_item(item)
+                self._strategy[id(item.config)] = _classify_item(
+                    item, frozen_reference=frozen_reference)
             except _Unsupported as e:
                 self._unsupported.append({
                     "expectation_type": item.config.expectation_type,
@@ -351,6 +369,33 @@ class IncrementalCheckpoint:
                 evr = vr._run_schema_item(item)
                 out["schema"][config_id(item.config.expectation_type,
                                         item.kwargs)] = bool(evr.success)
+        job_items = [it for it in self._iter_items()
+                     if self._strategy.get(id(it.config)) in
+                     ("job_counts", "rowcount_vs_other")]
+        if job_items:
+            # frozen-reference audio/referential: run their own join jobs on
+            # THIS delta only (prescreen/anti-join against the full reference
+            # table) and keep the map-shaped counts, which sum exactly
+            sub = ExpectationSuite(self.suite.expectation_suite_name
+                                   + "#incremental-jobs")
+            for it in job_items:
+                sub.expectations.append(it.config)
+            res = ValidationRun(df, tables=self.tables,
+                                catch_exceptions=False).run(sub)
+            jobs = {}
+            for it, evr in zip(job_items, res.results):
+                cid = config_id(it.config.expectation_type, it.kwargs)
+                if self._strategy[id(it.config)] == "rowcount_vs_other":
+                    jobs[cid] = {
+                        "observed": int(evr.result["observed_value"]),
+                        "other": int(
+                            evr.result["details"]["other_table_row_count"])}
+                else:
+                    r = evr.result
+                    jobs[cid] = {"el": int(r.get("element_count") or 0),
+                                 "mi": int(r.get("missing_count") or 0),
+                                 "ux": int(r.get("unexpected_count") or 0)}
+            out["jobs"] = jobs
         path = os.path.join(self.store_path, "stats", f"{snapshot_id}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -487,6 +532,9 @@ class IncrementalCheckpoint:
 
             for item in items:
                 strat = self._strategy[id(item.config)]
+                if strat in ("job_counts", "rowcount_vs_other"):
+                    results.append(self._job_verdict(vr, item, strat, deltas))
+                    continue
                 inv = {a: k for k, a in dp.slot_table.keys.items()}
                 row = {a: inv_rows.get(inv[a]) for a in inv
                        if inv[a] in inv_rows}
@@ -500,6 +548,35 @@ class IncrementalCheckpoint:
                   "incremental": {
                       "snapshots_merged": [d["snapshot_id"] for d in deltas],
                       "unsupported": self._unsupported}})
+
+    def _job_verdict(self, vr, item: CompiledItem, strat: str,
+                     deltas: list[dict]) -> ExpectationValidationResult:
+        cid = config_id(item.config.expectation_type, item.kwargs)
+        recs = [d.get("jobs", {}).get(cid) for d in deltas]
+        if any(r is None for r in recs):
+            missing = [d["snapshot_id"] for d, r in zip(deltas, recs)
+                       if r is None]
+            raise ValueError(
+                f"snapshot(s) {missing} have no job counts for "
+                f"{item.config.expectation_type} — they were validated by a "
+                "checkpoint without frozen_reference; re-validate them")
+        if strat == "rowcount_vs_other":
+            others = {r["other"] for r in recs}
+            if len(others) > 1:
+                raise ValueError(
+                    "the reference table's row count changed between deltas "
+                    f"({sorted(others)}) — frozen_reference was violated; "
+                    "incremental counts are stale, run a full validation")
+            observed = sum(r["observed"] for r in recs)
+            other = next(iter(others))
+            return ExpectationValidationResult(
+                success=observed == other, expectation_config=item.config,
+                result={"observed_value": observed,
+                        "details": {"other_table_row_count": other}})
+        el = sum(r["el"] for r in recs)
+        mi = sum(r["mi"] for r in recs)
+        ux = sum(r["ux"] for r in recs)
+        return vr._map_evr(item, el, el - mi, ux, [], None)
 
     def _item_verdict(self, vr, item: CompiledItem, strat: str, row: dict,
                       inv_rows: dict, inv: dict) -> ExpectationValidationResult:

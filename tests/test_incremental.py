@@ -243,3 +243,73 @@ def test_stats_file_is_small(spark, tmp_path, snap_table):
     for sid in ("s1", "s2", "s3"):
         sz = os.path.getsize(str(tmp_path / "store" / "stats" / f"{sid}.json"))
         assert sz < 16_384, sz
+
+
+def test_frozen_reference_audio_counts_merge(spark, tmp_path):
+    """Audio invariants merge across deltas when the reference table is
+    frozen: per-delta prescreen joins + summed counts == one full run."""
+    from sparkcheck.io import generate_audio_clips
+    ref = generate_audio_clips(spark, 3000, clean=True, num_partitions=4)
+    dirty = generate_audio_clips(spark, 3000, num_partitions=4)
+    path = str(tmp_path / "clips")
+    # split the dirty table into two append snapshots by a deterministic
+    # predicate on clip_id hash (both halves keep their violations)
+    h = F.abs(F.xxhash64(F.coalesce(F.col("clip_id"), F.lit("\x00")))) % 2
+    write_table(dirty.filter(h == 0), path, snapshot_id="s1")
+    write_table(dirty.filter(h == 1), path, snapshot_id="s2", mode="append")
+    suite = (ExpectationSuite("audio")
+             .add("expect_audio_snr_vs_reference_to_be_above",
+                  reference_table="ref", min_snr_db=30.0, mostly=0.99)
+             .add("expect_audio_header_to_match_metadata"))
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"),
+                                tables={"ref": ref}, frozen_reference=True)
+    assert inc.unsupported() == []
+    inc.validate_table(spark, path)
+    merged = {r.expectation_config.expectation_type: r
+              for r in inc.merged_result().results}
+    full = {r.expectation_config.expectation_type: r
+            for r in validate(dirty, suite, tables={"ref": ref}).results}
+    for etype, f in full.items():
+        m = merged[etype]
+        assert m.success == f.success, etype
+        assert m.result["unexpected_count"] == f.result["unexpected_count"]
+        assert m.result["element_count"] == f.result["element_count"]
+
+
+def test_frozen_reference_violation_is_detected(spark, tmp_path):
+    """A reference-table row-count change between deltas must raise, not
+    silently merge stale counts."""
+    from sparkcheck.io import write_table as wt
+    path = str(tmp_path / "t")
+    d1 = spark.range(0, 50).select(F.concat(F.lit("u"), F.col("id")).alias("user"))
+    wt(d1, path, snapshot_id="s1")
+    wt(d1, path, snapshot_id="s2", mode="append")
+    suite = ExpectationSuite("rc").add(
+        "expect_table_row_count_to_equal_other_table", other_table_name="o")
+    store = str(tmp_path / "store")
+    inc = IncrementalCheckpoint(suite, store, frozen_reference=True,
+                                tables={"o": spark.range(100)})
+    from sparkcheck.io import read_table, read_table_delta
+    df1, _ = read_table(spark, path, snapshot_id="s1")
+    inc.validate_delta(df1, snapshot_id="s1")
+    # the reference GROWS between deltas -> merge must refuse
+    inc2 = IncrementalCheckpoint(suite, store, frozen_reference=True,
+                                 tables={"o": spark.range(130)})
+    df2, _ = read_table_delta(spark, path, "s1", snapshot_id="s2")
+    inc2.validate_delta(df2, snapshot_id="s2")
+    with pytest.raises(ValueError, match="frozen_reference was violated"):
+        inc2.merged_result()
+    # and with a truly frozen reference of the right size it passes exactly
+    inc3 = IncrementalCheckpoint(suite, str(tmp_path / "store2"),
+                                 frozen_reference=True,
+                                 tables={"o": spark.range(100)})
+    inc3.validate_table(spark, path)
+    r = inc3.merged_result().results[0]
+    assert r.success is True and r.result["observed_value"] == 100
+
+
+def test_audio_without_frozen_flag_is_unsupported(spark, tmp_path):
+    suite = ExpectationSuite("a").add(
+        "expect_audio_snr_vs_reference_to_be_above", reference_table="ref")
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    assert "frozen_reference" in inc.unsupported()[0]["reason"]
