@@ -246,3 +246,37 @@ def test_verdict_sink_rollup_prunes_binary(spark, tmp_path, clips_path):
     from sparkcheck.runner import read_partition_verdicts
     kinds = {r["kind"] for r in read_partition_verdicts(spark, sink).collect()}
     assert kinds == {"map", "agg"}
+
+
+def test_incremental_stats_pass_prunes_scan(spark, clips_path):
+    """The incremental per-delta statistics pass must read ONLY the columns
+    its mergeable expectations reference — never the binary column — and the
+    transcript-rate pair condition must fuse into the same single agg."""
+    from sparkcheck.incremental import IncrementalCheckpoint
+    from sparkcheck.types import ExpectationSuite
+    suite = (ExpectationSuite("inc")
+             .add("expect_column_values_to_not_be_null", column="clip_id")
+             .add("expect_column_mean_to_be_between", column="dur_ms",
+                  min_value=0, max_value=10**9)
+             .add("expect_transcript_words_per_second_to_be_between",
+                  min_wps=0.05, max_wps=200.0))
+    inc = IncrementalCheckpoint.__new__(IncrementalCheckpoint)
+    inc.suite = suite
+    from sparkcheck.planner import compile_suite
+    from sparkcheck.incremental import _classify_item
+    inc._plan = compile_suite(suite.expectations)
+    inc._strategy = {id(it.config): _classify_item(it)
+                     for it in inc._iter_items()}
+    d = spark.read.parquet(clips_path)
+    (did, dp, items), = list(inc._domain_items())
+    stats = inc._stat_exprs(items)
+    agg = d.agg(*[s["expr"] for s in stats.values()])
+    txt = _executed_plan(agg)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    assert m, txt[:500]
+    cols = m.group(1)
+    assert "bytes" not in cols, f"binary column leaked into stats scan: {cols}"
+    for c in ("clip_id", "dur_ms", "transcript"):
+        assert c in cols
+    # ONE fused aggregation: no join, a single scan node
+    assert txt.count("FileScan") == 1 or txt.count("Scan parquet") == 1, txt[:800]
