@@ -414,8 +414,26 @@ class IncrementalCheckpoint:
         manifest = self._load_manifest()
         done = set(manifest["validated"])
         ran = []
+        # an overwrite snapshot REPLACES data, so statistics merged from
+        # snapshots before it would describe rows that no longer exist. The
+        # LATEST non-append snapshot is therefore the merge base: validate
+        # it as a full read and the appends after it as deltas. If the store
+        # already holds stats from before that base, they are stale — refuse
+        # loudly instead of merging silently-wrong verdicts.
+        history = snapshots(table_path)
+        base_idx = 0
+        for i, snap in enumerate(history):
+            if i > 0 and snap.get("mode") != "append":
+                base_idx = i
+        stale = done & {s["id"] for s in history[:base_idx]}
+        if stale:
+            raise ValueError(
+                f"snapshot {history[base_idx]['id']!r} overwrote the table "
+                f"but the stats store still holds pre-overwrite snapshots "
+                f"{sorted(stale)} — their statistics describe replaced rows; "
+                "start a fresh stats store from the overwrite")
         prev = None
-        for snap in snapshots(table_path):
+        for snap in history[base_idx:]:
             sid = snap["id"]
             if sid not in done:
                 if prev is None:

@@ -313,3 +313,66 @@ def test_audio_without_frozen_flag_is_unsupported(spark, tmp_path):
         "expect_audio_snr_vs_reference_to_be_above", reference_table="ref")
     inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
     assert "frozen_reference" in inc.unsupported()[0]["reason"]
+
+
+def test_overwrite_snapshot_resets_merge_base(spark, tmp_path):
+    """The latest overwrite becomes the merge base; stats that predate it
+    are refused loudly (they describe replaced rows)."""
+    path = str(tmp_path / "ow")
+    write_table(_mkdf(spark, 0, 300), path, snapshot_id="s1")
+    write_table(_mkdf(spark, 300, 500), path, snapshot_id="s2", mode="append")
+    suite = ExpectationSuite("rc").add(
+        "expect_table_row_count_to_be_between", min_value=0)
+    store = str(tmp_path / "store")
+    inc = IncrementalCheckpoint(suite, store)
+    inc.validate_table(spark, path)
+    assert inc.merged_result().results[0].result["observed_value"] == 500
+
+    # the table is REPLACED: same store must refuse, fresh store must
+    # validate from the overwrite base only
+    write_table(_mkdf(spark, 0, 120), path, snapshot_id="s3")  # overwrite
+    write_table(_mkdf(spark, 120, 150), path, snapshot_id="s4", mode="append")
+    with pytest.raises(ValueError, match="overwrote the table"):
+        inc.validate_table(spark, path)
+    inc2 = IncrementalCheckpoint(suite, str(tmp_path / "store2"))
+    assert inc2.validate_table(spark, path)["validated_now"] == ["s3", "s4"]
+    assert inc2.merged_result().results[0].result["observed_value"] == 150
+
+
+def test_streaming_microbatches_merge_as_deltas(spark, tmp_path):
+    """incremental_stream: each microbatch is one fused stats pass; the
+    merged result equals a batch validation of everything streamed, and a
+    replayed batch id is a no-op (exactly-once without coordination)."""
+    from sparkcheck.streaming import incremental_stream
+    src = str(tmp_path / "src")
+    _mkdf(spark, 0, 800).write.parquet(src)
+    stream = (spark.readStream.schema(_mkdf(spark, 0, 1).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    suite = (ExpectationSuite("s")
+             .add("expect_column_values_to_not_be_null", column="user")
+             .add("expect_column_mean_to_be_between", column="v",
+                  min_value=0, max_value=1000)
+             .add("expect_column_values_to_be_in_set", column="kind",
+                  value_set=["a", "b", "c"], mostly=0.5))
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    q = incremental_stream(stream, inc,
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = _by_key(inc.merged_result())
+    full = _by_key(validate(_mkdf(spark, 0, 800), suite))
+    for key, f in full.items():
+        m = merged[key]
+        assert m.success == f.success
+        for fld in ("element_count", "unexpected_count"):
+            if fld in f.result:
+                assert m.result[fld] == f.result[fld], (key, fld)
+    # replaying an already-committed batch id is a no-op
+    before = len(inc._load_stats())
+    r = inc.validate_delta(_mkdf(spark, 0, 10),
+                           snapshot_id=sorted(
+                               inc._load_manifest()["validated"])[0])
+    assert r["skipped"] is True
+    assert len(inc._load_stats()) == before
