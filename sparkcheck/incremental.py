@@ -465,9 +465,13 @@ class IncrementalCheckpoint:
         return out
 
     def merged_result(self, spark=None) -> ExpectationSuiteValidationResult:
-        """Whole-table verdicts from the merged statistics. ``spark`` is only
-        needed when the suite contains uniqueness/HLL expectations (one tiny
-        job unions the stored sketches)."""
+        """Whole-table verdicts from the merged statistics. The merge itself
+        is driver-side arithmetic over the KB-sized stats files; ``spark``
+        (an active session) is only needed when the suite contains
+        uniqueness/HLL expectations — one tiny job unions the stored
+        sketches. (Plan compilation in ``__init__`` builds Catalyst Column
+        objects, so the process still needs a live SparkContext — merge
+        never runs a job or scans data, but it is not JVM-free.)"""
         deltas = self._load_stats()
         if not deltas:
             raise ValueError("no validated snapshots in the stats store")
