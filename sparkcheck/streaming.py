@@ -259,6 +259,11 @@ def incremental_stream(stream_df: DataFrame, inc, *, checkpoint_dir: str,
     already committed to the store manifest — a replayed batch is a no-op,
     so counts are never double-merged.
 
+    One writer per store: the manifest commit is a read-modify-write (safe
+    for foreachBatch, which runs epochs serially within a query) — do not
+    point two concurrent streaming queries or a concurrent batch
+    ``validate_table`` at the same stats store.
+
     Returns the started StreamingQuery.
     """
     def process(batch_df: DataFrame, batch_id: int) -> None:
