@@ -264,6 +264,11 @@ def incremental_stream(stream_df: DataFrame, inc, *, checkpoint_dir: str,
     point two concurrent streaming queries or a concurrent batch
     ``validate_table`` at the same stats store.
 
+    The stats store and ``checkpoint_dir`` live and die together: batch ids
+    come from the Spark checkpoint, so restarting the stream with a FRESH
+    checkpoint dir restarts ids at 0 and the store would silently skip the
+    new epochs as already-validated. New checkpoint dir => new stats store.
+
     Returns the started StreamingQuery.
     """
     def process(batch_df: DataFrame, batch_id: int) -> None:
