@@ -81,6 +81,10 @@ from .types import (ExpectationSuite, ExpectationSuiteValidationResult,
 
 STATS_FORMAT_VERSION = 1
 
+# distinct-set statistics are stored verbatim in the per-snapshot JSON; the
+# KB-sized-stats-file guarantee requires them to stay value-set-sized
+MAX_DISTINCT_SET = 10_000
+
 # agg-kind expectation types with an exact sufficient-statistic decomposition
 _MERGEABLE_AGGS = {
     "expect_column_mean_to_be_between": "mean",
@@ -361,7 +365,19 @@ class IncrementalCheckpoint:
             row = dfd.agg(*[s["expr"] for s in stats.values()]).first()
             vals = {}
             for key, s in stats.items():
-                vals[key] = _encode(row[s["col"]], key, s["op"])
+                v = row[s["col"]]
+                if (s["op"] == "set_union" and v is not None
+                        and len(v) > MAX_DISTINCT_SET):
+                    # the per-snapshot stats file must stay KB-sized; a
+                    # high-cardinality distinct-set column would silently
+                    # grow it per delta — refuse instead
+                    raise ValueError(
+                        f"distinct-set statistic {key!r} has {len(v)} "
+                        f"values in this delta (cap {MAX_DISTINCT_SET}) — "
+                        "a value-set check on a high-cardinality column is "
+                        "not incrementally mergeable at bounded size; drop "
+                        "it from the suite or validate it with a full run")
+                vals[key] = _encode(v, key, s["op"])
             out["domains"][did] = vals
         if self._plan.schema_items:
             vr = ValidationRun(df)

@@ -376,3 +376,17 @@ def test_streaming_microbatches_merge_as_deltas(spark, tmp_path):
                                inc._load_manifest()["validated"])[0])
     assert r["skipped"] is True
     assert len(inc._load_stats()) == before
+
+
+def test_high_cardinality_distinct_set_refused(spark, tmp_path):
+    """A distinct-set statistic above MAX_DISTINCT_SET must refuse loudly at
+    delta time — the KB-sized stats-file guarantee, not a silent blowup."""
+    import sparkcheck.incremental as incmod
+    suite = ExpectationSuite("ds").add(
+        "expect_column_distinct_values_to_be_in_set", column="user",
+        value_set=["u1"])
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
+    big = spark.range(0, incmod.MAX_DISTINCT_SET + 500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user"))
+    with pytest.raises(ValueError, match="not incrementally mergeable"):
+        inc.validate_delta(big, snapshot_id="s1")
