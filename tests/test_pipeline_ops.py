@@ -514,3 +514,20 @@ class TestQualityFilter:
         plan = quality_filter(docs).sample(1.0)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+    def test_long_diverse_doc_linear(self, spark):
+        """top_share must be the sorted-run fold, not filter-per-distinct:
+        a 50k-distinct-token doc is ~2.5e9 lambda evals under the quadratic
+        form (minutes) vs one O(n log n) fold (well under the timeout)."""
+        import time
+
+        from sparkcheck.pipeline.text import quality_filter
+        text = " ".join(f"tok{i}" for i in range(50_000)) + " the and of"
+        docs = spark.createDataFrame([("big", text), ("rep", "a a a b")],
+                                     "doc_id string, text string")
+        t0 = time.monotonic()
+        got = {r["doc_id"]: r.asDict()
+               for r in quality_filter(docs, min_stopword_ratio=0.0).collect()}
+        assert time.monotonic() - t0 < 60
+        assert got["big"]["ok_repetition"]      # top share 1/50003
+        assert not got["rep"]["ok_repetition"]  # top share 3/4 > 0.5
