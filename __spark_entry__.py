@@ -1273,6 +1273,16 @@ def _incremental_suite():
         .add("expect_column_sum_to_be_between", column="value", min_value=1.0)
         .add("expect_column_stdev_to_be_between", column="value",
              min_value=1.0, max_value=100_000.0)
+        # r5: KLL-sketch-merged quantiles. The observed values carry the
+        # sketch's rank-error tolerance, so the oracle compares only the
+        # SUCCESS verdicts, on bounds slack enough (>=8 value units vs a
+        # <~2-unit worst-case sketch shift at k=200 on 10k rows) that the
+        # tolerance cannot flip them.
+        .add("expect_column_median_to_be_between", column="value",
+             min_value=20.0, max_value=50.0)
+        .add("expect_column_quantile_values_to_be_between", column="value",
+             quantile_ranges={"quantiles": [0.25, 0.75],
+                              "value_ranges": [[5.0, 25.0], [55.0, 85.0]]})
     )
 
 
@@ -1301,6 +1311,10 @@ def q_ge_incremental(spark, sf_dir):
     for idx, r in enumerate(res.results):
         kw = r.expectation_config.kwargs
         ov = r.result.get("observed_value")
+        # KLL-merged observed values are sketch-tolerance-bounded, not
+        # bit-exact vs a full recompute — gate them on success only
+        sketchy = (r.result.get("details") or {}).get(
+            "strategy") == "kll_sketch_merge"
         def _c(v):  # count fields: -1 = not applicable for this kind
             return -1 if v is None else int(v)
         rows.append((
@@ -1309,7 +1323,8 @@ def q_ge_incremental(spark, sf_dir):
             _c(r.result.get("element_count")),
             _c(r.result.get("missing_count")),
             _c(r.result.get("unexpected_count")),
-            round(float(ov), 4) if isinstance(ov, (int, float)) else -1.0))
+            round(float(ov), 4)
+            if isinstance(ov, (int, float)) and not sketchy else -1.0))
     return spark.createDataFrame(
         rows, "idx int, expectation_type string, domain string, "
               "success boolean, element_count bigint, missing_count bigint, "
@@ -1338,7 +1353,10 @@ WITH s AS (
          avg(value) AS mean_v, min(value) AS min_v, max(value) AS max_v,
          sum(value) AS sum_v,
          sqrt((sum(value*value) - sum(value)*sum(value)/count(value))
-              / (count(value)-1)) AS sd_v
+              / (count(value)-1)) AS sd_v,
+         quantile_cont(value, 0.5) AS med_v,
+         quantile_cont(value, 0.25) AS q25_v,
+         quantile_cont(value, 0.75) AS q75_v
   FROM events)
 SELECT 0 AS idx, 'expect_table_row_count_to_be_between' AS expectation_type,
        '' AS domain, n >= 1 AND n <= 10000000000 AS success,
@@ -1368,6 +1386,11 @@ UNION ALL SELECT 8, 'expect_column_sum_to_be_between', 'value',
 UNION ALL SELECT 9, 'expect_column_stdev_to_be_between', 'value',
        sd_v >= 1.0 AND sd_v <= 100000.0, -1, -1, -1,
        round(sd_v, 4) FROM s
+UNION ALL SELECT 10, 'expect_column_median_to_be_between', 'value',
+       med_v >= 20.0 AND med_v <= 50.0, -1, -1, -1, -1.0 FROM s
+UNION ALL SELECT 11, 'expect_column_quantile_values_to_be_between', 'value',
+       q25_v >= 5.0 AND q25_v <= 25.0 AND q75_v >= 55.0 AND q75_v <= 85.0,
+       -1, -1, -1, -1.0 FROM s
 """
 
 

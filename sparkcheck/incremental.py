@@ -32,6 +32,15 @@ noted):
   (``unique_strategy='approx'``). EXACT uniqueness is NOT derivable from
   per-delta statistics (a duplicate can span two snapshots) — it is reported
   as unsupported and needs one full-table pass.
+- median / quantiles — approximate with a declared bound: per-delta
+  DataSketches KLL doubles sketches (``kll_sketch_agg_double``) merge
+  losslessly via ``kll_merge_agg_double``; the merged quantile differs from
+  a full recompute by at most the sketch's normalized rank error
+  (~1.7%/0.8% two/one-sided at the default k=200, 99% confidence — tune
+  with ``kll_k``). Expectations that explicitly request EXACT quantiles
+  (``exact=True``, ``allow_relative_error=0``, ``interpolation='linear'``)
+  stay unsupported: exact order statistics are not derivable from
+  per-delta sketches.
 - schema checks — evaluated per delta, folded by AND (sound for append-only
   tables: every file ever written satisfied the check).
 
@@ -45,7 +54,7 @@ noted):
   table: only newly appended clips are decoded.
 
 NOT mergeable, reported in ``unsupported`` (run a full validation for these):
-median/quantiles (Spark's percentile sketch is not exportable), z-score
+exact-opt-in median/quantiles (see above), z-score
 (defined against the evolving global mean/std — old rows' verdicts change
 when data appends), increasing/decreasing windows (order spans snapshots),
 exact uniqueness / unique_proportion / exact unique_value_count,
@@ -96,6 +105,10 @@ _MERGEABLE_AGGS = {
 
 _DRIFT_SCORES_MERGEABLE = {"kl", "ks", "psi", "chisq_p", "ks_param_p"}
 
+# default DataSketches KLL k: ~0.8% one-sided normalized rank error at 99%
+# confidence, 4-5 KB serialized — override per expectation with kll_k=
+KLL_DEFAULT_K = 200
+
 
 def _suite_fingerprint(suite: ExpectationSuite) -> str:
     ids = sorted(config_id(c.expectation_type, c.kwargs)
@@ -141,6 +154,11 @@ def _classify_item(item: CompiledItem, *,
                 "exact distinct count is not derivable from per-delta "
                 "statistics (pass approximate=True for a mergeable HLL "
                 "sketch, or run a full validation)")
+        if etype == "expect_column_median_to_be_between":
+            # approximate within the KLL sketch's declared rank-error bound
+            # (the full-validation path is exact F.median; merging sketches
+            # is the documented incremental tolerance, like HLL uniqueness)
+            return "kll:median"
         raise _Unsupported(
             f"{etype} has no exact sufficient-statistic decomposition")
     if kind == "agg_custom":
@@ -149,9 +167,20 @@ def _classify_item(item: CompiledItem, *,
             return "row_count"
         if handler == "distinct_set":
             return "distinct_set"
+        if handler == "quantiles":
+            kw = item.kwargs
+            err = kw.get("allow_relative_error", False)
+            if (kw.get("exact") is True or kw.get("interpolation") == "linear"
+                    or (err is not False and err == 0)):
+                raise _Unsupported(
+                    "exact quantiles are not derivable from per-delta "
+                    "statistics — drop the exactness opt-in (exact=True / "
+                    "allow_relative_error=0 / interpolation='linear') to "
+                    "merge a KLL sketch, or run a full validation")
+            return "kll:quantiles"
         raise _Unsupported(
-            f"{handler} is not mergeable (quantile sketches are not "
-            "exportable from Spark; unique proportion needs exact distinct)")
+            f"{handler} is not mergeable (unique proportion needs exact "
+            "distinct)")
     if kind == "drift":
         if item.info.get("auto"):
             raise _Unsupported(
@@ -278,6 +307,12 @@ class IncrementalCheckpoint:
                     add(inv[alias],
                         self._owning_domain(item).slot_table.exprs[alias],
                         "sum")
+            elif strat.startswith("kll:"):
+                k = int(kw.get("kll_k", KLL_DEFAULT_K))
+                add(f"inc::kll::{kw['column']}::{k}",
+                    F.kll_sketch_agg_double(
+                        F.col(kw["column"]).cast("double"), F.lit(k)),
+                    "kll")
             elif strat.startswith("agg:"):
                 col = F.col(kw["column"])
                 dbl = col.cast("double")
@@ -493,8 +528,19 @@ class IncrementalCheckpoint:
             raise ValueError("no validated snapshots in the stats store")
         merged_domains: dict[str, dict] = {}
         hll_pending: list[tuple[str, str, list[bytes]]] = []  # (did,key,[sk])
+        kll_pending: list[tuple[str, str, int, list[bytes]]] = []
+        kll_need: dict[str, set] = {}   # "did\x00key" -> quantiles wanted
         for did, dp, items in self._domain_items():
             stats = self._stat_exprs(items)   # recompiled for op metadata
+            for item in items:
+                strat = self._strategy[id(item.config)]
+                if strat.startswith("kll:"):
+                    kw = item.kwargs
+                    key = (f"inc::kll::{kw['column']}"
+                           f"::{int(kw.get('kll_k', KLL_DEFAULT_K))}")
+                    qs = ({0.5} if strat == "kll:median"
+                          else {float(q) for q in item.info["quantiles"]})
+                    kll_need.setdefault(f"{did}\x00{key}", set()).update(qs)
             acc: dict = {}
             for key, s in stats.items():
                 vals = [_decode(d["domains"].get(did, {}).get(key))
@@ -522,6 +568,11 @@ class IncrementalCheckpoint:
                     sketches = [v for v in vals if v is not None]
                     hll_pending.append((did, key, sketches))
                     acc[key] = None  # filled below
+                elif op == "kll":
+                    sketches = [v for v in vals if v is not None]
+                    kll_pending.append(
+                        (did, key, int(key.rsplit("::", 1)[1]), sketches))
+                    acc[key] = None  # filled below
                 else:  # pragma: no cover
                     raise ValueError(op)
             merged_domains[did] = acc
@@ -542,6 +593,48 @@ class IncrementalCheckpoint:
                 for did, key, sks in hll_pending:
                     if sks:
                         merged_domains[did][key] = est.get(f"{did}\x00{key}", 0)
+        if any(sk for _, _, _, sk in kll_pending):
+            if spark is None:
+                raise ValueError(
+                    "merging quantile sketches needs a SparkSession — "
+                    "pass spark to merged_result()")
+            # two tiny jobs over the KB-sized sketches (never the data):
+            # 1. merge per (composite key, k) — one job per distinct k so the
+            #    merged sketch keeps the caller's accuracy parameter
+            from collections import defaultdict
+            by_k: dict[int, list] = defaultdict(list)
+            for did, key, k, sks in kll_pending:
+                for sk in sks:
+                    by_k[k].append((f"{did}\x00{key}", sk))
+            merged_sk: dict[str, bytes] = {}
+            for k, rows in by_k.items():
+                for r in (spark.createDataFrame(rows, "k string, sk binary")
+                          .groupBy("k")
+                          .agg(F.kll_merge_agg_double("sk", F.lit(k))
+                               .alias("m")).collect()):
+                    merged_sk[r["k"]] = bytes(r["m"])
+            # 2. extract every quantile any expectation needs from the
+            #    merged sketches — the rank argument must be foldable, so
+            #    each distinct quantile becomes one literal column
+            all_qs = sorted({float(q) for qs in kll_need.values()
+                             for q in qs})
+            qvals: dict[tuple, float] = {}
+            if merged_sk and all_qs:
+                res = (spark.createDataFrame(
+                           list(merged_sk.items()), "k string, sk binary")
+                       .select("k", *[
+                           F.kll_sketch_get_quantile_double("sk", F.lit(q))
+                           .alias(f"q{i}") for i, q in enumerate(all_qs)])
+                       .collect())
+                for r in res:
+                    for i, q in enumerate(all_qs):
+                        qvals[(r["k"], q)] = r[f"q{i}"]
+            for did, key, k, sks in kll_pending:
+                if sks:
+                    ck = f"{did}\x00{key}"
+                    merged_domains[did][key] = {
+                        q: qvals.get((ck, float(q)))
+                        for q in kll_need.get(ck, ())}
         return self._verdicts(merged_domains, deltas)
 
     # ------------------------------------------------------------- verdicts
@@ -670,6 +763,34 @@ class IncrementalCheckpoint:
             else:  # pragma: no cover
                 raise ValueError(what)
             return vr._between_evr(item, value)
+        if strat.startswith("kll:"):
+            c = kw["column"]
+            k = int(kw.get("kll_k", KLL_DEFAULT_K))
+            qmap = inv_rows.get(f"inc::kll::{c}::{k}") or {}
+            note = {"strategy": "kll_sketch_merge",
+                    "kll_k": k,
+                    "note": ("merged DataSketches KLL doubles sketches "
+                             "across snapshots; observed quantiles are "
+                             "within the sketch's normalized rank-error "
+                             "bound of a full recompute")}
+            if strat == "kll:median":
+                evr = vr._between_evr(item, qmap.get(0.5))
+                evr.result.setdefault("details", {}).update(note)
+                return evr
+            quantiles = [float(q) for q in item.info["quantiles"]]
+            values = [qmap.get(q) for q in quantiles]
+            ranges = kw["quantile_ranges"]["value_ranges"]
+            successes = [bool(v is not None
+                              and (lo is None or v >= lo)
+                              and (hi is None or v <= hi))
+                         for v, (lo, hi) in zip(values, ranges)]
+            return ExpectationValidationResult(
+                success=all(successes) and all(v is not None for v in values)
+                and len(values) == len(ranges),
+                expectation_config=item.config,
+                result={"observed_value": {"quantiles": quantiles,
+                                           "values": values},
+                        "details": {"success_details": successes, **note}})
         if strat in ("row_count", "distinct_set"):
             return vr._agg_custom_evr(item, row)
         if strat == "drift":
@@ -690,7 +811,7 @@ class IncrementalCheckpoint:
 def _encode(v, key: str, op: str):
     if v is None:
         return None
-    if op == "hll":
+    if op in ("hll", "kll"):
         return {"b64": base64.b64encode(bytes(v)).decode()}
     if op == "set_union":
         return list(v)

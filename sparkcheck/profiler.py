@@ -36,10 +36,19 @@ def build_reference_profile(
     n_bins: int = 10,
     max_categories: int = 64,
     quantiles: list[float] | None = None,
+    exact: bool = False,
 ) -> dict:
     """ONE fused agg pass for stats + quantiles, a second for histogram bins
     (bin edges depend on pass-1 quantiles), plus one tiny groupBy per
-    categorical column."""
+    categorical column.
+
+    Quantiles default to percentile_approx (bounded-memory sketch, exact
+    below ~10^4 rows per partition), mirroring the engine's plan-gated
+    quantile path: the profile builder runs on the "clean snapshot", which
+    may be the FULL table, and exact F.percentile buffers every value of
+    every numeric column in one aggregation — a memory hazard at 10^12
+    rows. Pass ``exact=True`` to opt back into sort-based exact
+    interpolated percentiles (documented memory bound)."""
     qs = DEFAULT_QUANTILES if quantiles is None else quantiles
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or list(fields)
@@ -55,9 +64,12 @@ def build_reference_profile(
                 F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"),
                 F.avg(c).alias(f"{c}__mean"), F.stddev_samp(c).alias(f"{c}__std"),
             ]
-            if qs:  # exact percentile is sort-based — skip when not requested
-                exprs.append(F.percentile(
-                    F.col(c), F.array(*[F.lit(q) for q in qs])).alias(f"{c}__q"))
+            if qs:
+                qarr = F.array(*[F.lit(q) for q in qs])
+                exprs.append(
+                    (F.percentile(F.col(c), qarr) if exact
+                     else F.percentile_approx(F.col(c), qarr, F.lit(10_000))
+                     ).alias(f"{c}__q"))
         elif isinstance(dt, T.StringType):
             string_cols.append(c)
             exprs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))

@@ -156,13 +156,17 @@ def test_uniqueness_merges_as_hll_prescreen(spark, tmp_path):
 def test_unsupported_kinds_are_declared_not_wrong(spark, tmp_path):
     suite = (ExpectationSuite("mix")
              .add("expect_column_values_to_not_be_null", column="user")
-             .add("expect_column_median_to_be_between", column="v",
-                  min_value=0)
+             .add("expect_column_quantile_values_to_be_between", column="v",
+                  exact=True,
+                  quantile_ranges={"quantiles": [0.5],
+                                   "value_ranges": [[0, 1000]]})
              .add("expect_column_values_to_be_increasing", column="v"))
     inc = IncrementalCheckpoint(suite, str(tmp_path / "store"))
     reasons = {u["expectation_type"]: u["reason"] for u in inc.unsupported()}
-    assert set(reasons) == {"expect_column_median_to_be_between",
+    assert set(reasons) == {"expect_column_quantile_values_to_be_between",
                             "expect_column_values_to_be_increasing"}
+    assert "exactness opt-in" in reasons[
+        "expect_column_quantile_values_to_be_between"]
     with pytest.raises(ValueError, match="non-mergeable"):
         IncrementalCheckpoint(suite, str(tmp_path / "s2"), strict=True)
 
@@ -173,8 +177,56 @@ def test_unsupported_kinds_are_declared_not_wrong(spark, tmp_path):
     assert len(res.results) == 1  # only the mergeable one
     assert [u["expectation_type"] for u in
             res.meta["incremental"]["unsupported"]] == [
-        "expect_column_median_to_be_between",
+        "expect_column_quantile_values_to_be_between",
         "expect_column_values_to_be_increasing"]
+
+
+def test_quantiles_merge_as_kll_sketch(spark, tmp_path):
+    """Median/quantile expectations merge across snapshots via DataSketches
+    KLL: the merged observed value must be within the sketch's declared
+    normalized rank-error bound of a full recompute, and the exactness
+    opt-ins must stay unsupported (test above). v cycles 0..600 so rank
+    error translates to value error 1:1 per ~600 ranks."""
+    path = str(tmp_path / "q")
+    write_table(_mkdf(spark, 0, 1000), path, snapshot_id="s1")
+    write_table(_mkdf(spark, 1000, 2500), path, snapshot_id="s2",
+                mode="append")
+    write_table(_mkdf(spark, 2500, 3000), path, snapshot_id="s3",
+                mode="append")
+    suite = (ExpectationSuite("q")
+             .add("expect_column_median_to_be_between", column="v",
+                  min_value=200.0, max_value=400.0)
+             .add("expect_column_quantile_values_to_be_between", column="v",
+                  quantile_ranges={"quantiles": [0.25, 0.75],
+                                   "value_ranges": [[100.0, 200.0],
+                                                    [400.0, 500.0]]}))
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"), strict=True)
+    assert inc.unsupported() == []
+    inc.validate_table(spark, path)
+    merged = _by_key(inc.merged_result(spark))
+    full = _by_key(validate(_mkdf(spark, 0, 3000), suite))
+
+    # KLL k=200: one-sided normalized rank error ~0.8% at 99% confidence;
+    # 3000 rows over a 0..600 cycle => <= ~0.008 * 3000 ranks ~ 5 value
+    # units per rank/5 rows => bound the value gap at 15 (3x the expectation)
+    key_m = ("expect_column_median_to_be_between", "v")
+    assert merged[key_m].success == full[key_m].success is True
+    assert merged[key_m].result["observed_value"] == pytest.approx(
+        full[key_m].result["observed_value"], abs=15)
+    assert merged[key_m].result["details"]["strategy"] == "kll_sketch_merge"
+
+    key_q = ("expect_column_quantile_values_to_be_between", "v")
+    assert merged[key_q].success == full[key_q].success is True
+    for mv, fv in zip(merged[key_q].result["observed_value"]["values"],
+                      full[key_q].result["observed_value"]["values"]):
+        assert mv == pytest.approx(fv, abs=15)
+
+    # the stats file stays KB-sized with sketches in it
+    import glob
+    import os
+    for p in glob.glob(os.path.join(str(tmp_path / "store"),
+                                    "stats", "*.json")):
+        assert os.path.getsize(p) < 64_000
 
 
 def test_revalidation_is_idempotent_and_resumable(spark, tmp_path, snap_table):

@@ -280,3 +280,33 @@ def test_incremental_stats_pass_prunes_scan(spark, clips_path):
         assert c in cols
     # ONE fused aggregation: no join, a single scan node
     assert txt.count("FileScan") == 1 or txt.count("Scan parquet") == 1, txt[:800]
+
+
+def test_profile_pass_uses_sketch_quantiles_by_default(spark, clips_path):
+    """build_reference_profile runs on the 'clean snapshot' — potentially
+    the full table — so its quantiles must default to the bounded-memory
+    percentile_approx sketch; exact sort-based percentile is opt-in."""
+    import pyspark.sql.classic.dataframe as CD
+
+    import sparkcheck.profiler as P
+
+    captured = []
+    orig = CD.DataFrame.first
+
+    def spy(self):
+        captured.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self)
+
+    CD.DataFrame.first = spy
+    try:
+        d = spark.read.parquet(clips_path)
+        P.build_reference_profile(d, ["dur_ms"])
+        default_plan = "".join(captured)
+        captured.clear()
+        P.build_reference_profile(d, ["dur_ms"], exact=True)
+        exact_plan = "".join(captured)
+    finally:
+        CD.DataFrame.first = orig
+    assert "percentile_approx" in default_plan
+    assert re.search(r"(?<!_approx)percentile\(", exact_plan)
+    assert "percentile_approx" not in exact_plan
