@@ -142,14 +142,33 @@ class ValidationRun:
     def _sink_verdict_select(self, item: CompiledItem) -> list[Column] | None:
         """Spark-expression verdict derivation for one fused item over stored
         rollup rows — the distributed twin of _evr_from_row_quiet. Returns
-        None when the verdict is not Catalyst-expressible (drift /
-        agg_custom / non-numeric or datetime bounds); those fall back to a
-        NARROW driver collect of just that item's slot columns."""
+        None when the verdict is not Catalyst-expressible (distinct_set /
+        exact-opt-in quantiles / non-numeric or datetime bounds); those fall
+        back to a NARROW driver collect of just that item's slot columns.
+        Drift items go through _sink_drift_frame (Arrow-scored) instead."""
         spec, kw = item.spec, item.kwargs
         pid = F.col("__pid").cast("string").alias("partition_id")
         lits = self._sink_lits(item)
         null_l = F.lit(None).cast("long")
         null_d = F.lit(None).cast("double")
+
+        def _between(v: Column) -> Column:
+            lo, hi = kw.get("min_value"), kw.get("max_value")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (v > lo if kw.get("strict_min") else v >= lo)
+            if hi is not None:
+                cond = cond & (v < hi if kw.get("strict_max") else v <= hi)
+            # validate_metric_value_between: a NULL observed value fails
+            return F.when(v.isNull(), F.lit(False)).otherwise(cond)
+
+        def _numeric_bounds() -> bool:
+            lo, hi = kw.get("min_value"), kw.get("max_value")
+            num = (int, float, type(None))
+            return (isinstance(lo, num) and isinstance(hi, num)
+                    and not isinstance(lo, bool) and not isinstance(hi, bool)
+                    and not kw.get("parse_strings_as_datetimes"))
+
         if spec.kind == "map":
             el = F.coalesce(F.col(item.slots["element"]), F.lit(0)).cast("long")
             nn = F.coalesce(F.col(item.slots["nonnull"]), F.lit(0)).cast("long")
@@ -166,26 +185,149 @@ class ValidationRun:
                     ux.alias("unexpected_count"),
                     null_d.alias("observed_value")]
         if spec.kind == "agg":
-            lo, hi = kw.get("min_value"), kw.get("max_value")
-            num = (int, float, type(None))
-            if (not isinstance(lo, num) or not isinstance(hi, num)
-                    or isinstance(lo, bool) or isinstance(hi, bool)
-                    or kw.get("parse_strings_as_datetimes")):
+            if not _numeric_bounds():
                 return None
             v = F.col(item.slots["value"]).cast("double")
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (v > lo if kw.get("strict_min") else v >= lo)
-            if hi is not None:
-                cond = cond & (v < hi if kw.get("strict_max") else v <= hi)
-            # validate_metric_value_between: a NULL observed value fails
-            success = F.when(v.isNull(), F.lit(False)).otherwise(cond)
-            return [pid, *lits, success.alias("success"),
+            return [pid, *lits, _between(v).alias("success"),
                     null_l.alias("element_count"),
                     null_l.alias("missing_count"),
                     null_l.alias("unexpected_count"),
                     v.alias("observed_value")]
+        if spec.kind == "agg_custom":
+            handler = spec.extra["handler"]
+            if handler == "row_count":
+                v = F.coalesce(F.col(item.slots["value"]), F.lit(0))
+                success = (v == int(kw["value"])
+                           if spec.extra["mode"] == "equal"
+                           else _between(v) if _numeric_bounds() else None)
+                if success is None:
+                    return None
+                return [pid, *lits, success.alias("success"),
+                        null_l.alias("element_count"),
+                        null_l.alias("missing_count"),
+                        null_l.alias("unexpected_count"),
+                        v.cast("double").alias("observed_value")]
+            if handler == "unique_proportion":
+                if not _numeric_bounds():
+                    return None
+                nn = F.coalesce(F.col(item.slots["nonnull"]), F.lit(0))
+                v = F.when(nn > 0, F.col(item.slots["distinct"])
+                           .cast("double") / nn.cast("double"))
+                return [pid, *lits, _between(v).alias("success"),
+                        null_l.alias("element_count"),
+                        null_l.alias("missing_count"),
+                        null_l.alias("unexpected_count"),
+                        v.alias("observed_value")]
+            if handler == "quantiles" and "value" in item.slots:
+                # fused percentile_approx array; exact-opt-in (approxQuantile
+                # job) has no slot and stays on the driver fallback
+                vals = F.col(item.slots["value"])
+                ranges = kw["quantile_ranges"]["value_ranges"]
+                conds = [F.lit(len(ranges) > 0)]
+                for i, (lo, hi) in enumerate(ranges):
+                    v = F.element_at(vals, i + 1)
+                    c = v.isNotNull()
+                    if lo is not None:
+                        c = c & (v >= lo)
+                    if hi is not None:
+                        c = c & (v <= hi)
+                    conds.append(c)
+                from functools import reduce as _reduce
+                success = F.when(
+                    vals.isNull() | (F.size(vals) < len(ranges)),
+                    F.lit(False)).otherwise(
+                        _reduce(lambda a, b: a & b, conds))
+                return [pid, *lits, success.alias("success"),
+                        null_l.alias("element_count"),
+                        null_l.alias("missing_count"),
+                        null_l.alias("unexpected_count"),
+                        null_d.alias("observed_value")]
+            return None
         return None
+
+    def _sink_drift_frame(self, item: CompiledItem, pid_src: DataFrame):
+        """Distributed per-partition drift verdicts: the score is a pure
+        function of the partition's fused bin counts, computed by an
+        Arrow-batched pandas UDF calling the SAME sketches.* scoring code as
+        the driver path — no per-partition row ever reaches the driver.
+        Returns None (driver fallback) for the genuinely driver-bound modes:
+        auto-partition KL (builds the partition from the batch), bootstrapped
+        KS (raw-sample job), and categorical KL (out-of-set mass resolution
+        is its own groupBy job)."""
+        import pandas as pd
+        spec, kw = item.spec, item.kwargs
+        score_kind = spec.extra["score"]
+        if item.info.get("auto") or kw.get("bootstrap"):
+            return None
+        if score_kind == "kl" and "values" in item.info:
+            return None
+        expected = list(item.info["expected_weights"])
+        bins = list(item.info["bins"]) if item.info.get("bins") else None
+        po = kw.get("partition_object") or {}
+        tail_w = list(po["tail_weights"]) if po.get("tail_weights") else None
+        th = float(kw.get("tail_weight_holdout", 0.0))
+        ih = float(kw.get("internal_weight_holdout", 0.0))
+        bin_cols = list(item.info["bin_aliases"])
+        nb = len(bin_cols)
+
+        def score_batch(*series):
+            def val(s, i):
+                v = s.iloc[i]
+                return 0.0 if v is None or pd.isna(v) else float(v)
+            out = []
+            for i in range(len(series[0])):
+                counts = [val(series[j], i) for j in range(nb)]
+                below, above, nonnull = (val(series[nb], i),
+                                         val(series[nb + 1], i),
+                                         val(series[nb + 2], i))
+                if score_kind == "kl":
+                    v, _ = sketches.kl_divergence(
+                        counts, expected, below, above, nonnull, th, ih,
+                        bins=bins, expected_tail_weights=tail_w)
+                elif score_kind == "ks":
+                    v = sketches.ks_statistic(counts, expected)
+                elif score_kind == "psi":
+                    v = sketches.psi(counts, expected)
+                elif score_kind == "chisq_p":
+                    v, _ = sketches.chisquare_p_value(counts, expected)
+                elif score_kind in ("ks_p", "ks_param_p"):
+                    v = sketches.ks_p_value(
+                        sketches.ks_statistic(counts, expected), sum(counts))
+                else:
+                    v = sketches.chisquare_statistic(counts, expected)
+                out.append(v)
+            return pd.Series(out, dtype="float64")
+
+        udf = F.pandas_udf(score_batch, "double")
+        in_cols = [F.col(c) for c in bin_cols]
+        in_cols.append(F.col(item.slots["below"]).cast("double")
+                       if "below" in item.slots else F.lit(0.0))
+        in_cols.append(F.col(item.slots["above"]).cast("double")
+                       if "above" in item.slots else F.lit(0.0))
+        in_cols.append(F.col(item.slots["nonnull"]).cast("double"))
+        scored = pid_src.withColumn("__score", udf(*in_cols))
+        v = F.col("__score")
+        finite = ~(F.isnan(v) | (v == float("inf")) | (v == float("-inf")))
+        threshold = kw.get("threshold")
+        if score_kind == "kl":
+            success = (F.lit(True) if threshold is None
+                       else F.coalesce(v <= float(threshold), F.lit(False)))
+            observed = F.when(finite, v)   # displayable rule (_kl_evr)
+        else:
+            t = float(threshold)
+            cmp = v > t if spec.extra.get("direction") == "greater" else v < t
+            # Spark orders NaN above every double (NaN > t is TRUE); python's
+            # nan > t is False — pin the python semantics
+            success = F.coalesce(
+                F.when(F.isnan(v), F.lit(False)).otherwise(cmp), F.lit(False))
+            observed = v
+        null_l = F.lit(None).cast("long")
+        return scored.select(
+            F.col("__pid").cast("string").alias("partition_id"),
+            *self._sink_lits(item), success.alias("success"),
+            null_l.alias("element_count"), null_l.alias("missing_count"),
+            null_l.alias("unexpected_count"),
+            observed.alias("observed_value")).select(*self._SINK_COLS)
 
     _SINK_SCHEMA = ("partition_id string, expectation_type string, "
                     "domain string, kind string, success boolean, "
@@ -201,11 +343,14 @@ class ValidationRun:
         """Per-partition fused pass for 100k+-partition tables: the wide
         rollup (partitions x slot-table width) is written to the sink as
         parquet DISTRIBUTED and per-partition verdict rows are derived from
-        it with Catalyst expressions — the driver reads back only the single
-        global row (a pushed `__pid IS NULL` filter on the tiny parquet).
-        Items whose verdicts need driver logic (drift, agg_custom,
-        non-numeric bounds) collect a NARROW projection (that item's slot
-        columns only), never the full slot table. Returns the global row."""
+        it with Catalyst expressions (map/agg/row_count/unique_proportion/
+        quantile kinds) or an Arrow-batched pandas UDF (drift scores) — the
+        driver reads back only the single global row (a pushed `__pid IS
+        NULL` filter on the tiny parquet). The residual driver-bound items
+        (distinct_set, exact-opt-in quantiles, auto-partition KL,
+        bootstrapped KS, categorical KL) collect a NARROW projection (that
+        item's slot columns only), never the full slot table. Returns the
+        global row."""
         import json as _json
         import os
         from functools import reduce
@@ -219,17 +364,22 @@ class ValidationRun:
         g = stored.filter(F.col("__pid").isNull()).collect()
         grow = g[0].asDict() if g else {a: None for a in dp.slot_table.exprs}
         pid_src = stored.filter(F.col("__pid").isNotNull())
-        exprs, narrow = [], []
+        frames, narrow = [], []
         for item in dp.fused_items:
+            if item.spec.kind == "drift":
+                fr = self._sink_drift_frame(item, pid_src)
+                if fr is not None:
+                    frames.append(fr)
+                else:
+                    narrow.append(item)
+                continue
             sel = self._sink_verdict_select(item)
             if sel is not None:
-                exprs.append(sel)
+                frames.append(pid_src.select(*sel).select(*self._SINK_COLS))
             else:
                 narrow.append(item)
-        if exprs:
-            out = reduce(lambda a, b: a.unionByName(b),
-                         [pid_src.select(*sel).select(*self._SINK_COLS)
-                          for sel in exprs])
+        if frames:
+            out = reduce(lambda a, b: a.unionByName(b), frames)
             out.write.mode("overwrite").parquet(
                 os.path.join(sink, f"verdicts-domain-{didx}.parquet"))
         if narrow:
@@ -741,12 +891,17 @@ class ValidationRun:
 
     # ----------------------------------------------------------- job items
 
-    def _run_job_item(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
+    def _run_job_item(self, item: CompiledItem, dfd: DataFrame, grow: dict,
+                      pid_rows: list[dict] | None = None,
+                      didx: int = 0,
+                      jidx: int = 0) -> ExpectationValidationResult:
         handler_kind = item.spec.kind
         if handler_kind == "map_window":
             return self._run_window_item(item, dfd, grow)
         if handler_kind == "map_unique":
-            return self._run_unique_item(item, dfd, grow)
+            return self._run_unique_item(item, dfd, grow,
+                                         pid_rows=pid_rows, didx=didx,
+                                         jidx=jidx)
         if handler_kind == "value":
             if item.spec.extra.get("handler") == "cramers_phi":
                 return self._run_cramers_phi(item, dfd, grow)
@@ -791,7 +946,10 @@ class ValidationRun:
             ]
         return self._map_evr(item, element, nonnull, unexpected, samples)
 
-    def _run_unique_item(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
+    def _run_unique_item(self, item: CompiledItem, dfd: DataFrame, grow: dict,
+                         pid_rows: list[dict] | None = None,
+                         didx: int = 0,
+                         jidx: int = 0) -> ExpectationValidationResult:
         """Uniqueness via groupBy dup-groups — marks every row of a duplicated
         value unexpected, exactly like the reference's window form
         (column_values_unique.py:83-87), but with a key-partitioned shuffle
@@ -801,6 +959,16 @@ class ValidationRun:
         approx_count_distinct. With unique_strategy='approx' the verdict uses
         the sketch alone (no second job — for exploratory scans); 'exact'
         (default) always resolves exact dup counts.
+
+        per_partition (r5): the exact path also emits one verdict row per
+        partition counting that partition's rows that participate in a
+        GLOBAL duplicate group (the counts sum to the global
+        unexpected_count). Derived from a (key, partition) pre-aggregation,
+        so the extra cost is one shuffle of distinct-key-sized data; in sink
+        mode the rows are joined to the stored rollup and written by
+        executors — nothing per-partition reaches the driver. The
+        approx/clean-prescreen strategies skip per-partition verdicts: an
+        HLL sketch cannot attribute cross-partition duplicates.
         """
         kw = item.kwargs
         compound = item.spec.extra.get("compound", False)
@@ -848,7 +1016,18 @@ class ValidationRun:
             {"column_list": cols,
              "ignore_row_if": kw.get("ignore_row_if", "all_values_are_missing")}) \
             if compound else F.col(cols[0]).isNotNull()
-        vc = dfd.filter(nn).groupBy(*cols).agg(F.count(F.lit(1)).alias("__cnt"))
+        g1 = None
+        if self.per_partition:
+            # (key, partition) pre-agg: the global dup groups AND each
+            # partition's share of them derive from this one distinct-key-
+            # sized intermediate (map-side partial agg does the heavy lift)
+            g1 = (dfd.filter(nn).withColumn("__pid", self._pid_expr())
+                  .groupBy(*cols, "__pid")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+            vc = g1.groupBy(*cols).agg(F.sum("__c").alias("__cnt"))
+        else:
+            vc = dfd.filter(nn).groupBy(*cols).agg(
+                F.count(F.lit(1)).alias("__cnt"))
         dup = vc.filter(F.col("__cnt") > 1)
         stats = dup.agg(
             F.coalesce(F.sum("__cnt"), F.lit(0)).alias("dup_rows"),
@@ -870,7 +1049,69 @@ class ValidationRun:
                              if self.unique_strategy == "auto" else "exact_groupby"),
                 "approx_distinct": approx,
                 "duplicate_groups": int(stats["dup_groups"])}
+        if g1 is not None:
+            self._emit_unique_partition_verdicts(item, g1, dup, cols,
+                                                 pid_rows, didx, jidx)
         return evr
+
+    def _emit_unique_partition_verdicts(self, item: CompiledItem, g1, dup,
+                                        cols: list[str],
+                                        pid_rows: list[dict] | None,
+                                        didx: int, jidx: int) -> None:
+        """Per-partition rows participating in a GLOBAL duplicate group:
+        g1 = (key, partition, count), dup = the duplicated keys. Null-safe
+        key equality — partially-null compound keys DO group (and therefore
+        duplicate) in the reference semantics."""
+        import os
+        from functools import reduce
+        g = g1.alias("g")
+        d = dup.select(*cols).alias("d")
+        cond = reduce(lambda a, b: a & b,
+                      [F.col(f"g.{c}").eqNullSafe(F.col(f"d.{c}"))
+                       for c in cols])
+        pid_dup = (g.join(d, cond, "left_semi")
+                   .groupBy("__pid").agg(F.sum("__c").alias("__dup")))
+        mostly = float(item.kwargs.get("mostly", 1.0))
+        if self.partition_verdict_sink is not None:
+            # join executor-side to the stored rollup's per-partition
+            # element/nonnull and write verdict rows distributed
+            spark = g1.sparkSession
+            rollup = (spark.read.parquet(os.path.join(
+                self.partition_verdict_sink,
+                f"rollup-domain-{didx}.parquet"))
+                .filter(F.col("__pid").isNotNull())
+                .select("__pid", item.slots["element"],
+                        item.slots["nonnull"]))
+            joined = rollup.join(pid_dup, "__pid", "left")
+            el = F.coalesce(F.col(item.slots["element"]), F.lit(0)).cast("long")
+            nn = F.coalesce(F.col(item.slots["nonnull"]), F.lit(0)).cast("long")
+            ux = F.coalesce(F.col("__dup"), F.lit(0)).cast("long")
+            success = ((el == 0) | (nn == 0)
+                       | ((nn - ux).cast("double")
+                          >= F.lit(mostly) * nn.cast("double")))
+            null_l = F.lit(None).cast("long")
+            (joined.select(
+                F.col("__pid").cast("string").alias("partition_id"),
+                *self._sink_lits(item), success.alias("success"),
+                el.alias("element_count"), (el - nn).alias("missing_count"),
+                ux.alias("unexpected_count"),
+                F.lit(None).cast("double").alias("observed_value"))
+             .select(*self._SINK_COLS)
+             .write.mode("overwrite").parquet(os.path.join(
+                 self.partition_verdict_sink,
+                 f"verdicts-domain-{didx}-u{jidx}.parquet")))
+            return
+        dups_by_pid = {r["__pid"]: int(r["__dup"] or 0)
+                       for r in pid_dup.collect()}  # bounded by #partitions
+        for prow in pid_rows or []:
+            el = int(prow[item.slots["element"]] or 0)
+            nn = int(prow[item.slots["nonnull"]] or 0)
+            ux = dups_by_pid.get(prow["__pid"], 0)
+            self._record_partition_verdict(
+                prow["__pid"], item,
+                mostly_success(el, nn, ux, item.kwargs.get("mostly", 1.0)),
+                {"unexpected_count": ux, "element_count": el,
+                 "missing_count": el - nn, "observed_value": None})
 
     def _run_most_common(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
         """Most-common value(s) with the tie collect BOUNDED (`max_ties`,
@@ -1434,8 +1675,11 @@ class ValidationRun:
                     for item in dp.dependent_items:
                         record(item.config, lambda exc=e: (_ for _ in ()).throw(exc))
 
-            for item in dp.job_items:
-                record(item.config, lambda it=item: self._run_job_item(it, dfd, grow))
+            for jidx, item in enumerate(dp.job_items):
+                record(item.config,
+                       lambda it=item, j=jidx: self._run_job_item(
+                           it, dfd, grow, pid_rows=pid_rows, didx=didx,
+                           jidx=j))
 
         results = []
         for config in suite.expectations:

@@ -129,3 +129,76 @@ def test_sink_handles_many_partitions(spark, tmp_path):
         assert r["element_count"] == 40, b
         assert r["unexpected_count"] == want_null, b
         assert bool(r["success"]) == (want_null == 0), b  # 50% < mostly=0.9
+
+
+def _dup_df(spark):
+    """8 buckets; `v` duplicates SPAN buckets (id % 1000 repeats across the
+    0..16k range), so per-partition dup attribution must see global groups."""
+    from pyspark.sql import functions as F
+    return (spark.range(0, 16_000, numPartitions=8)
+            .select(F.col("id"),
+                    (F.col("id") % 8).cast("string").alias("bucket"),
+                    F.when(F.col("id") % 100 == 7, None)
+                    .otherwise(F.col("id") % 1000).alias("v"),
+                    (F.col("id") % 50).cast("double").alias("x")))
+
+
+def _wide_suite():
+    return (ExpectationSuite("wide-sink")
+            .add("expect_column_values_to_be_unique", column="v", mostly=0.5)
+            .add("expect_column_psi_to_be_less_than",
+                 column="x", threshold=5.0,
+                 partition_object={"bins": [0, 10, 30, 50],
+                                   "weights": [0.2, 0.4, 0.4]})
+            .add("expect_column_chisquare_test_p_value_to_be_greater_than",
+                 column="x", threshold=1e-12,
+                 partition_object={"bins": [0, 10, 30, 50],
+                                   "weights": [0.2, 0.4, 0.4]})
+            .add("expect_table_row_count_to_be_between", min_value=1)
+            .add("expect_column_proportion_of_unique_values_to_be_between",
+                 column="v", min_value=0.01, max_value=1.0)
+            .add("expect_column_quantile_values_to_be_between", column="x",
+                 quantile_ranges={"quantiles": [0.5],
+                                  "value_ranges": [[0.0, 49.0]]}))
+
+
+def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
+    """r5: unique + drift + agg_custom per-partition verdicts must reach the
+    sink WITHOUT any driver-side fallback file, and match the collected
+    path row for row. Unique rows must also sum to the global count."""
+    import glob
+
+    df = _dup_df(spark)
+    suite = _wide_suite()
+    collected = validate(df, suite, per_partition=True, partition_col="bucket")
+    sink_dir = str(tmp_path / "sink")
+    sunk = validate(df, suite, per_partition=True, partition_col="bucket",
+                    partition_verdict_sink=sink_dir)
+    assert [r.success for r in collected.results] == \
+        [r.success for r in sunk.results]
+
+    # every kind rode the distributed path: no narrow driver fallback file
+    assert not glob.glob(f"{sink_dir}/*-driver.parquet")
+
+    got = _norm_sink(read_partition_verdicts(spark, sink_dir))
+    want = _norm_collected(collected.meta["partition_verdicts"])
+    assert set(got) == set(want)
+    for k in want:
+        ws, wu, we, wm, wo = want[k]
+        gs, gu, ge, gm, go = got[k]
+        assert (gs, gu, ge, gm) == (ws, wu, we, wm), k
+        if wo is None:
+            assert go is None, k
+        else:
+            assert go is not None and math.isclose(go, wo, rel_tol=1e-9), k
+    # 8 buckets x 6 expectations
+    assert len(got) == 8 * 6
+
+    # unique: per-partition dup participation sums to the global count
+    uniq = [v for k, v in got.items()
+            if k[1] == "expect_column_values_to_be_unique"]
+    global_ux = next(r for r in sunk.results
+                     if r.expectation_config.expectation_type
+                     == "expect_column_values_to_be_unique")
+    assert sum(u[1] for u in uniq) == global_ux.result["unexpected_count"]
+    assert global_ux.result["unexpected_count"] > 0  # fixture has real dups
