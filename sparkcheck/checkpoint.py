@@ -474,22 +474,28 @@ class Checkpoint:
 
         from .planner import compile_suite
         from .runner import read_partition_verdicts
-        mapping, grouped = [], set()
+        # keyed dict, not a list: a suite containing two IDENTICAL
+        # expectation configs would make the sink join many-to-many and
+        # rollup() double-count those verdicts (duplicate configs share one
+        # config_id, so one mapping row serves both)
+        mapping: dict[tuple, tuple] = {}
+        grouped = set()
         for dp in compile_suite(self.suite.expectations).domains.values():
             for item in dp.fused_items:
                 if item.spec.kind != "map":
                     continue
                 cid = config_id(item.config.expectation_type, item.kwargs)
-                mapping.append((
-                    item.config.expectation_type,
-                    _json.dumps(item.kwargs, sort_keys=True, default=str),
-                    cid, float(item.kwargs.get("mostly", 1.0))))
+                kwj = _json.dumps(item.kwargs, sort_keys=True, default=str)
+                mapping[(item.config.expectation_type, kwj)] = (
+                    item.config.expectation_type, kwj, cid,
+                    float(item.kwargs.get("mostly", 1.0)))
                 grouped.add(cid)
         if not mapping:
             return set()
         m = spark.createDataFrame(
-            mapping, "expectation_type string, config_kwargs string, "
-                     "__cid string, __mostly double")
+            list(mapping.values()),
+            "expectation_type string, config_kwargs string, "
+            "__cid string, __mostly double")
         v = read_partition_verdicts(spark, work)
         out = (v.filter((F.col("kind") == "map")
                         & F.col("element_count").isNotNull())

@@ -753,9 +753,9 @@ class IncrementalCheckpoint:
                 value = (math.sqrt(max(0.0, (s2 - s1 * s1 / cnt) / (cnt - 1)))
                          if cnt >= 2 else None)
             elif what == "min":
-                value = inv_rows.get(f"inc::min::{c}")
+                value = _maybe_temporal(inv_rows.get(f"inc::min::{c}"), kw)
             elif what == "max":
-                value = inv_rows.get(f"inc::max::{c}")
+                value = _maybe_temporal(inv_rows.get(f"inc::max::{c}"), kw)
             elif what == "sum":
                 value = inv_rows.get(f"inc::nsum::{c}")
             elif what == "hll":
@@ -806,6 +806,22 @@ class IncrementalCheckpoint:
             item.info["dfd"] = None  # guard: merge path must never scan
             return vr._drift_evr(item, row)
         raise ValueError(strat)  # pragma: no cover
+
+
+def _maybe_temporal(value, kw: dict):
+    """_encode JSON-serializes a date/timestamp min/max fold as str(v); a
+    merged verdict with parse_strings_as_datetimes=True would then compare
+    str vs datetime bounds and raise TypeError (ADVICE r4). Decode the ISO
+    string back when the expectation declares datetime semantics."""
+    if isinstance(value, str) and kw.get("parse_strings_as_datetimes"):
+        import datetime
+        for parse in (datetime.datetime.fromisoformat,
+                      datetime.date.fromisoformat):
+            try:
+                return parse(value)
+            except ValueError:
+                continue
+    return value
 
 
 def _encode(v, key: str, op: str):

@@ -287,14 +287,25 @@ def salted_repartition(df: DataFrame, hot_key: str, n_salts: int = 16,
     salting before a key-partitioned stage — north_star skew handling.
 
     The salt hashes STABLE row content — ``salt_cols`` if given (use the
-    row's unique key, e.g. clip_id), else every column of the row — never
-    ``monotonically_increasing_id()``, whose value depends on the physical
-    scan layout: re-runs at different parallelism would partition
-    differently, breaking checkpoint-resume determinism (VERDICT r3 #4).
-    Identical rows hash to the same salt, which is fine: the goal is
-    spreading a hot KEY's rows across ``n_salts`` buckets, and content-equal
-    rows are interchangeable."""
-    cols = [F.col(c) for c in (salt_cols or df.columns)]
+    row's unique key, e.g. clip_id), else every NON-BINARY column of the
+    row — never ``monotonically_increasing_id()``, whose value depends on
+    the physical scan layout: re-runs at different parallelism would
+    partition differently, breaking checkpoint-resume determinism
+    (VERDICT r3 #4). Identical rows hash to the same salt, which is fine:
+    the goal is spreading a hot KEY's rows across ``n_salts`` buckets, and
+    content-equal rows are interchangeable.
+
+    Binary columns are excluded from the default salt: hashing a multi-KB
+    audio payload per row just to pick a 4-bit salt is pure waste before
+    the exchange (ADVICE r4). On tables where every non-binary column is
+    shared by many rows, pass ``salt_cols=[unique key]`` explicitly."""
+    if salt_cols is None:
+        from pyspark.sql import types as T
+        salt_cols = [f.name for f in df.schema.fields
+                     if not isinstance(f.dataType, T.BinaryType)]
+        if not salt_cols:  # degenerate all-binary table: hash everything
+            salt_cols = df.columns
+    cols = [F.col(c) for c in salt_cols]
     salt = F.abs(F.xxhash64(*cols)) % n_salts
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (df.withColumn("__salt", salt)

@@ -254,7 +254,22 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     partial labels (callers doing incremental refinement may want them)."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is a GLOBAL SparkContext mutation: only set it
+        # when none is configured, so this call never silently redirects
+        # other df.checkpoint() users for the rest of the session. A
+        # conflicting pre-set dir is an explicit error, not a clobber.
+        current = spark.sparkContext._jsc.sc().getCheckpointDir()
+        existing = current.get() if current.isDefined() else None
+        if existing is None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        elif existing.rstrip("/") != checkpoint_dir.rstrip("/") and \
+                not existing.rstrip("/").startswith(
+                    checkpoint_dir.rstrip("/")):
+            raise ValueError(
+                f"SparkContext already has checkpoint dir {existing!r}; "
+                f"refusing to clobber it with {checkpoint_dir!r} — either "
+                "omit checkpoint_dir (the session's is used) or set the "
+                "session-level dir to the desired path")
 
     def _truncate(df: DataFrame, eager: bool) -> DataFrame:
         if checkpoint_dir is not None:

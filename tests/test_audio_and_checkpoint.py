@@ -928,6 +928,25 @@ class TestSaltedRepartitionDeterminism:
                    .distinct().count())
         assert n_parts >= 4
 
+    def test_default_salt_skips_binary_payload(self, spark):
+        """ADVICE r4: the default salt must NOT hash a multi-KB binary
+        payload per row just to pick a 4-bit bucket; the plan's xxhash64
+        must reference only the non-binary columns."""
+        from pyspark.sql import functions as F
+
+        from sparkcheck.metrics.audio import salted_repartition
+        df = (spark.range(0, 100)
+              .select(F.concat(F.lit("c"), F.col("id")).alias("clip_id"),
+                      F.lit("wav").alias("codec"),
+                      F.col("id").cast("string").cast("binary")
+                      .alias("bytes")))
+        out = salted_repartition(df, "codec", n_salts=8, num_partitions=4)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        hash_call = plan[plan.index("xxhash64("):]
+        hash_call = hash_call[:hash_call.index(")")]
+        assert "bytes" not in hash_call, hash_call
+        assert "clip_id" in hash_call and "codec" in hash_call
+
 
 class TestCheckpointActions:
     """VERDICT r3 #7: post-commit action hooks — the reference's
@@ -1080,3 +1099,36 @@ class TestDistributedSinglePass:
             assert roll[key]["success"] == evr.success, key
             assert roll[key]["unexpected_count"] == \
                 evr.result.get("unexpected_count", 0) or 0, key
+
+    def test_duplicate_configs_do_not_double_count(self, spark, clips6k,
+                                                   tmp_path):
+        """ADVICE r4: two IDENTICAL expectation configs share one config_id;
+        the sink-to-config join must not go many-to-many (4 store rows per
+        group instead of 2, doubling rollup counts)."""
+        from sparkcheck import ExpectationSuite
+        from sparkcheck.checkpoint import Checkpoint
+        suite = (ExpectationSuite("dup")
+                 .add("expect_column_values_to_not_be_null", column="clip_id")
+                 .add("expect_column_values_to_not_be_null", column="clip_id"))
+        a = Checkpoint(str(tmp_path / "dupc"), suite,
+                       group_key="clip_id", n_groups=3)
+        a.run_single_pass(clips6k)
+        b = Checkpoint(str(tmp_path / "dupd"), suite,
+                       group_key="clip_id", n_groups=3)
+        b.run_single_pass(clips6k, distributed_verdicts=True)
+        ca = self._rows(spark, a)
+        cb = self._rows(spark, b)
+        na = a.verdicts(spark).count()
+        nb = b.verdicts(spark).count()
+        assert na == nb, (na, nb)
+        assert ca == cb
+        # both paths emit one store row per CONFIG INSTANCE (2 here); the
+        # rollup keys on the shared config_id, so duplicate configs sum —
+        # identically in both paths (2x6000). The r4 bug was the join going
+        # many-to-many in the distributed path only (4 rows/group vs 2).
+        ra = {(x["expectation_type"], x["domain"]): x["element_count"]
+              for x in a.rollup(spark).collect()}
+        rb = {(x["expectation_type"], x["domain"]): x["element_count"]
+              for x in b.rollup(spark).collect()}
+        assert ra == rb == {("expect_column_values_to_not_be_null",
+                             "clip_id"): 12000}

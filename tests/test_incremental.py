@@ -442,3 +442,29 @@ def test_high_cardinality_distinct_set_refused(spark, tmp_path):
         F.concat(F.lit("u"), F.col("id")).alias("user"))
     with pytest.raises(ValueError, match="not incrementally mergeable"):
         inc.validate_delta(big, snapshot_id="s1")
+
+
+def test_datetime_min_max_merge(spark, tmp_path):
+    """ADVICE r4: a timestamp min/max fold is JSON-stored as str; the merged
+    verdict with parse_strings_as_datetimes must decode it back instead of
+    raising TypeError on str-vs-datetime comparison."""
+    path = str(tmp_path / "dt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)")
+        .alias("ts"))
+    write_table(mk(0, 500), path, snapshot_id="s1")
+    write_table(mk(500, 1000), path, snapshot_id="s2", mode="append")
+    suite = (ExpectationSuite("dt")
+             .add("expect_column_max_to_be_between", column="ts",
+                  min_value="2024-01-01 00:00:00",
+                  max_value="2024-12-31 00:00:00",
+                  parse_strings_as_datetimes=True)
+             .add("expect_column_min_to_be_between", column="ts",
+                  min_value="2023-12-31 00:00:00",
+                  parse_strings_as_datetimes=True))
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"), strict=True)
+    inc.validate_table(spark, path)
+    res = inc.merged_result()
+    assert [r.success for r in res.results] == [True, True]
+    # max over both snapshots is the last second of s2
+    assert res.results[0].result["observed_value"] == "2024-01-01 00:16:39"
