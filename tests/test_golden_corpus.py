@@ -75,10 +75,10 @@ def _iter_cases():
                 continue
             for di, dataset in enumerate(doc.get("datasets", [])):
                 schemas = (dataset.get("schemas") or {}).get("spark")
-                for test in dataset.get("tests", []):
+                for ti, test in enumerate(dataset.get("tests", [])):
                     yield pytest.param(
-                        etype, dataset, schemas, test,
-                        id=f"{etype}-{di}-{test.get('title', '?')[:48]}")
+                        etype, di, ti, dataset, schemas, test,
+                        id=f"{etype}-{di}-{ti}-{test.get('title', '?')[:48]}")
 
 
 def _backend_allows(test) -> bool:
@@ -203,12 +203,65 @@ SKIP_CASES = {
 }
 
 
-@pytest.mark.parametrize("etype,dataset,schemas,test", list(_iter_cases()))
-def test_golden_case(spark, etype, dataset, schemas, test):
+# r5 skip audit (tests/golden_skip_manifest.md): cases the reference corpus
+# suppresses/omits for its spark backend but OUR engine passes verbatim —
+# mostly the standard-SQL like-pattern variants (the mssql `[a]%`
+# bracket-class twins stay skipped: Spark LIKE has no char classes) plus
+# unexpected_index_list cases (we implement keyed index lists) and
+# null-safe pair comparison. Keyed (expectation_type, dataset_idx, test_idx)
+# because titles repeat across dialect variants within one dataset.
+RUN_DESPITE_SUPPRESSION = {
+    ("expect_column_pair_values_to_be_equal", 0, 5),
+    ("expect_column_value_lengths_to_equal", 0, 5),
+    ("expect_column_values_to_match_like_pattern", 0, 7),
+    ("expect_column_values_to_match_like_pattern", 0, 8),
+    ("expect_column_values_to_match_like_pattern", 0, 10),
+    ("expect_column_values_to_match_like_pattern", 0, 11),
+    ("expect_column_values_to_match_like_pattern", 0, 12),
+    ("expect_column_values_to_match_like_pattern", 0, 13),
+    ("expect_column_values_to_match_like_pattern", 0, 14),
+    ("expect_column_values_to_match_like_pattern", 0, 15),
+    ("expect_column_values_to_match_like_pattern", 0, 16),
+    ("expect_column_values_to_match_like_pattern", 0, 17),
+    ("expect_column_values_to_match_like_pattern", 0, 18),
+    ("expect_column_values_to_match_like_pattern", 0, 19),
+    ("expect_column_values_to_match_like_pattern_list", 0, 2),
+    ("expect_column_values_to_match_like_pattern_list", 0, 3),
+    ("expect_column_values_to_match_like_pattern_list", 0, 6),
+    ("expect_column_values_to_match_like_pattern_list", 0, 7),
+    ("expect_column_values_to_match_like_pattern_list", 0, 8),
+    ("expect_column_values_to_match_like_pattern_list", 0, 9),
+    ("expect_column_values_to_not_match_like_pattern", 0, 4),
+    ("expect_column_values_to_not_match_like_pattern", 0, 5),
+    ("expect_column_values_to_not_match_like_pattern", 0, 6),
+    ("expect_column_values_to_not_match_like_pattern", 0, 7),
+    ("expect_column_values_to_not_match_like_pattern", 0, 8),
+    ("expect_column_values_to_not_match_like_pattern", 0, 9),
+    ("expect_column_values_to_not_match_like_pattern", 0, 10),
+    ("expect_column_values_to_not_match_like_pattern", 0, 11),
+    ("expect_column_values_to_not_match_like_pattern", 0, 12),
+    ("expect_column_values_to_not_match_like_pattern", 0, 13),
+    ("expect_column_values_to_not_match_like_pattern", 0, 14),
+    ("expect_column_values_to_not_match_like_pattern", 0, 15),
+    ("expect_column_values_to_not_match_like_pattern_list", 0, 0),
+    ("expect_column_values_to_not_match_like_pattern_list", 0, 1),
+    ("expect_column_values_to_not_match_like_pattern_list", 0, 3),
+    ("expect_column_values_to_not_match_like_pattern_list", 0, 4),
+    ("expect_compound_columns_to_be_unique", 0, 3),
+    ("expect_compound_columns_to_be_unique", 0, 5),
+    ("expect_select_column_values_to_be_unique_within_record", 0, 3),
+}
+
+
+@pytest.mark.parametrize("etype,di,ti,dataset,schemas,test",
+                         list(_iter_cases()))
+def test_golden_case(spark, etype, di, ti, dataset, schemas, test):
     if (etype, test.get("title")) in SKIP_CASES:
         pytest.skip("pandas-typed corpus case (see SKIP_CASES)")
-    if not _backend_allows(test):
-        pytest.skip("suppressed for spark in the reference corpus")
+    if (not _backend_allows(test)
+            and (etype, di, ti) not in RUN_DESPITE_SUPPRESSION):
+        pytest.skip("suppressed for spark in the reference corpus "
+                    "(audited: tests/golden_skip_manifest.md)")
     raw_in = test["in"]
     if isinstance(raw_in, list):
         # positional form used by table-level corpus files
