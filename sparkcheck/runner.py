@@ -142,10 +142,11 @@ class ValidationRun:
     def _sink_verdict_select(self, item: CompiledItem) -> list[Column] | None:
         """Spark-expression verdict derivation for one fused item over stored
         rollup rows — the distributed twin of _evr_from_row_quiet. Returns
-        None when the verdict is not Catalyst-expressible (distinct_set /
-        exact-opt-in quantiles / non-numeric or datetime bounds); those fall
-        back to a NARROW driver collect of just that item's slot columns.
-        Drift items go through _sink_drift_frame (Arrow-scored) instead."""
+        None when the verdict is not Catalyst-expressible (exact-opt-in
+        quantiles / non-numeric or datetime bounds / NaN-bearing value
+        sets); those fall back to a NARROW driver collect of just that
+        item's slot columns. Drift items go through _sink_drift_frame
+        (Arrow-scored) instead."""
         spec, kw = item.spec, item.kwargs
         pid = F.col("__pid").cast("string").alias("partition_id")
         lits = self._sink_lits(item)
@@ -237,6 +238,46 @@ class ValidationRun:
                     vals.isNull() | (F.size(vals) < len(ranges)),
                     F.lit(False)).otherwise(
                         _reduce(lambda a, b: a & b, conds))
+                return [pid, *lits, success.alias("success"),
+                        null_l.alias("element_count"),
+                        null_l.alias("missing_count"),
+                        null_l.alias("unexpected_count"),
+                        null_d.alias("observed_value")]
+            if handler == "distinct_set":
+                # the rollup already stores each partition's sorted
+                # collect_set; subset/superset/equal reduce to array_except
+                # emptiness checks — pure Catalyst, no driver round-trip.
+                # The per-partition observed SET itself doesn't fit the
+                # sink's double observed_value (matches the collected
+                # path, which also normalizes non-numeric observed to null).
+                mode = spec.extra["mode"]
+                vs = kw.get("value_set")
+                obs = F.col(item.slots["value"])
+                if vs is not None:
+                    prim = (int, float, str, bool)
+                    if not all(isinstance(v, prim)
+                               and not (isinstance(v, float) and v != v)
+                               for v in vs):
+                        return None  # NaN / exotic types: driver semantics
+                if vs is None:
+                    # null set = universal set (vacuously true
+                    # subset/superset; equal only to the empty set)
+                    success = (F.lit(True) if mode != "equal"
+                               else F.coalesce(F.size(obs), F.lit(0)) == 0)
+                elif len(vs) == 0:
+                    success = (F.lit(True) if mode == "superset"
+                               else F.coalesce(F.size(obs), F.lit(0)) == 0)
+                else:
+                    lit_arr = F.array(*[F.lit(v) for v in dict.fromkeys(vs)])
+                    subset = F.size(F.array_except(obs, lit_arr)) == 0
+                    superset = F.size(F.array_except(lit_arr, obs)) == 0
+                    raw = {"subset": subset, "superset": superset,
+                           "equal": subset & superset}[mode]
+                    # a partition with zero non-null rows stores an empty
+                    # (or null) set: subset vacuously holds, the others
+                    # need every expected value present
+                    success = F.when(obs.isNull(),
+                                     F.lit(mode == "subset")).otherwise(raw)
                 return [pid, *lits, success.alias("success"),
                         null_l.alias("element_count"),
                         null_l.alias("missing_count"),
@@ -344,10 +385,10 @@ class ValidationRun:
         rollup (partitions x slot-table width) is written to the sink as
         parquet DISTRIBUTED and per-partition verdict rows are derived from
         it with Catalyst expressions (map/agg/row_count/unique_proportion/
-        quantile kinds) or an Arrow-batched pandas UDF (drift scores) — the
-        driver reads back only the single global row (a pushed `__pid IS
-        NULL` filter on the tiny parquet). The residual driver-bound items
-        (distinct_set, exact-opt-in quantiles, auto-partition KL,
+        quantile/distinct_set kinds) or an Arrow-batched pandas UDF (drift
+        scores) — the driver reads back only the single global row (a pushed
+        `__pid IS NULL` filter on the tiny parquet). The residual
+        driver-bound items (exact-opt-in quantiles, auto-partition KL,
         bootstrapped KS, categorical KL) collect a NARROW projection (that
         item's slot columns only), never the full slot table. Returns the
         global row."""
@@ -375,7 +416,15 @@ class ValidationRun:
                 continue
             sel = self._sink_verdict_select(item)
             if sel is not None:
-                frames.append(pid_src.select(*sel).select(*self._SINK_COLS))
+                try:
+                    # select() analyzes eagerly: a type that Catalyst can't
+                    # coerce (e.g. string value_set against a numeric
+                    # distinct_set slot) degrades to the narrow driver
+                    # fallback instead of failing the whole union write
+                    frames.append(
+                        pid_src.select(*sel).select(*self._SINK_COLS))
+                except Exception:  # noqa: BLE001 — analysis-time only
+                    narrow.append(item)
             else:
                 narrow.append(item)
         if frames:
@@ -897,7 +946,9 @@ class ValidationRun:
                       jidx: int = 0) -> ExpectationValidationResult:
         handler_kind = item.spec.kind
         if handler_kind == "map_window":
-            return self._run_window_item(item, dfd, grow)
+            return self._run_window_item(item, dfd, grow,
+                                         pid_rows=pid_rows, didx=didx,
+                                         jidx=jidx)
         if handler_kind == "map_unique":
             return self._run_unique_item(item, dfd, grow,
                                          pid_rows=pid_rows, didx=didx,
@@ -917,26 +968,94 @@ class ValidationRun:
             return audio_metrics.run_snr_item(self, item, dfd, grow)
         raise ValueError(handler_kind)
 
-    def _run_window_item(self, item: CompiledItem, dfd: DataFrame, grow: dict) -> ExpectationValidationResult:
+    def _run_window_item(self, item: CompiledItem, dfd: DataFrame, grow: dict,
+                         pid_rows: list[dict] | None = None,
+                         didx: int = 0,
+                         jidx: int = 0) -> ExpectationValidationResult:
         # Reference runs window conditions as their own job too
-        # (map_metric_provider.py:2344-2369). A global-ordered window cannot be
-        # fused; per-partition verdicts are not emitted for it (cross-partition
-        # order is global by construction).
+        # (map_metric_provider.py:2344-2369). A global-ordered window cannot
+        # be fused; per-partition verdicts (r5) attribute each
+        # order-violating ROW to its own input partition — a boundary
+        # violation (first value below the previous partition's last) counts
+        # against the partition holding the offending row. The pid is tagged
+        # BEFORE the window shuffle so it reflects input lineage, same as
+        # the fused rollup's.
         kw = item.kwargs
+        per_part = self.per_partition
+        if per_part:
+            dfd = dfd.withColumn("__pid", self._pid_expr())
         # reference null-filters the domain BEFORE the window (so `prev` is
         # the previous NON-null value — interspersed nulls don't mask
         # regressions): sparkdf_execution_engine.py:592-629
         dfd = dfd.filter(F.col(kw["column"]).isNotNull())
         nn = F.lit(True)
         expected = item.spec.condition(kw)
-        flagged = dfd.select(
-            F.col(kw["column"]), (nn & ~expected).alias("__unexpected"), nn.alias("__nn"))
-        row = flagged.agg(
-            F.coalesce(F.sum(F.when(F.col("__unexpected"), 1).otherwise(0)), F.lit(0)).alias("u")
-        ).first()
-        unexpected = int(row["u"])
+        sel = [F.col(kw["column"]),
+               (nn & ~expected).alias("__unexpected"), nn.alias("__nn")]
+        if per_part:
+            sel.append(F.col("__pid"))
+        flagged = dfd.select(*sel)
+        ux_agg = F.coalesce(
+            F.sum(F.when(F.col("__unexpected"), 1).otherwise(0)),
+            F.lit(0)).alias("u")
         element = int(grow[item.slots["element"]] or 0)
         nonnull = int(grow[item.slots["nonnull"]] or 0)
+        mostly = float(kw.get("mostly", 1.0))
+        if per_part and self.partition_verdict_sink is not None:
+            # one pass: rollup by pid written distributed, global row read
+            # back via a pushed __pid IS NULL filter; per-partition verdicts
+            # derived executor-side against the stored domain rollup's
+            # element/nonnull (exactly the unique-item sink shape)
+            import os
+            spark = flagged.sparkSession
+            wpath = os.path.join(self.partition_verdict_sink,
+                                 f"wrollup-domain-{didx}-w{jidx}.parquet")
+            (flagged.rollup("__pid").agg(ux_agg)
+             .write.mode("overwrite").parquet(wpath))
+            stored = spark.read.parquet(wpath)
+            g = stored.filter(F.col("__pid").isNull()).collect()
+            unexpected = int(g[0]["u"]) if g else 0
+            rollup = (spark.read.parquet(os.path.join(
+                self.partition_verdict_sink,
+                f"rollup-domain-{didx}.parquet"))
+                .filter(F.col("__pid").isNotNull())
+                .select("__pid", item.slots["element"],
+                        item.slots["nonnull"]))
+            joined = rollup.join(
+                stored.filter(F.col("__pid").isNotNull()), "__pid", "left")
+            el = F.coalesce(F.col(item.slots["element"]), F.lit(0)).cast("long")
+            nn_c = F.coalesce(F.col(item.slots["nonnull"]), F.lit(0)).cast("long")
+            ux = F.coalesce(F.col("u"), F.lit(0)).cast("long")
+            success = ((el == 0) | (nn_c == 0)
+                       | ((nn_c - ux).cast("double")
+                          >= F.lit(mostly) * nn_c.cast("double")))
+            (joined.select(
+                F.col("__pid").cast("string").alias("partition_id"),
+                *self._sink_lits(item), success.alias("success"),
+                el.alias("element_count"), (el - nn_c).alias("missing_count"),
+                ux.alias("unexpected_count"),
+                F.lit(None).cast("double").alias("observed_value"))
+             .select(*self._SINK_COLS)
+             .write.mode("overwrite").parquet(os.path.join(
+                 self.partition_verdict_sink,
+                 f"verdicts-domain-{didx}-w{jidx}.parquet")))
+        elif per_part:
+            rows = flagged.rollup("__pid").agg(ux_agg).collect()
+            by_pid = {r["__pid"]: int(r["u"] or 0)
+                      for r in rows if r["__pid"] is not None}
+            g = [r for r in rows if r["__pid"] is None]
+            unexpected = int(g[0]["u"]) if g else 0
+            for prow in pid_rows or []:
+                el = int(prow[item.slots["element"]] or 0)
+                nn_p = int(prow[item.slots["nonnull"]] or 0)
+                ux = by_pid.get(prow["__pid"], 0)
+                self._record_partition_verdict(
+                    prow["__pid"], item,
+                    mostly_success(el, nn_p, ux, mostly),
+                    {"unexpected_count": ux, "element_count": el,
+                     "missing_count": el - nn_p, "observed_value": None})
+        else:
+            unexpected = int(flagged.agg(ux_agg).first()["u"])
         samples: list = []
         if unexpected and self.rf["result_format"] != "BOOLEAN_ONLY":
             samples = [

@@ -159,7 +159,19 @@ def _wide_suite():
                  column="v", min_value=0.01, max_value=1.0)
             .add("expect_column_quantile_values_to_be_between", column="x",
                  quantile_ranges={"quantiles": [0.5],
-                                  "value_ranges": [[0.0, 49.0]]}))
+                                  "value_ranges": [[0.0, 49.0]]})
+            # r5: distinct_set rides the Catalyst sink path (array_except on
+            # the stored collect_set slot). v=0 only ever lands in bucket 0
+            # and v=1 only in bucket 1 (1000k+j ≡ j mod 8), so EVERY
+            # per-partition verdict fails while the global one passes —
+            # catches a path that conflates the two.
+            .add("expect_column_distinct_values_to_contain_set",
+                 column="v", value_set=[0, 1])
+            # r5: map_window per-partition verdicts (grouped window: each
+            # bucket's x=id%50 wraps as id climbs by 8 — real violations in
+            # every bucket, attributed to the row's own input partition)
+            .add("expect_column_values_to_be_increasing", column="x",
+                 group_by="bucket", order_by="id", mostly=0.5))
 
 
 def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
@@ -191,8 +203,8 @@ def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
             assert go is None, k
         else:
             assert go is not None and math.isclose(go, wo, rel_tol=1e-9), k
-    # 8 buckets x 6 expectations
-    assert len(got) == 8 * 6
+    # 8 buckets x 8 expectations
+    assert len(got) == 8 * 8
 
     # unique: per-partition dup participation sums to the global count
     uniq = [v for k, v in got.items()
@@ -202,3 +214,22 @@ def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
                      == "expect_column_values_to_be_unique")
     assert sum(u[1] for u in uniq) == global_ux.result["unexpected_count"]
     assert global_ux.result["unexpected_count"] > 0  # fixture has real dups
+
+    # distinct_set: v=0 lives only in bucket 0 and v=1 only in bucket 1, so
+    # the GLOBAL contain-set passes while every per-partition verdict fails
+    ds_global = next(r for r in sunk.results
+                     if r.expectation_config.expectation_type
+                     == "expect_column_distinct_values_to_contain_set")
+    assert ds_global.success
+    ds = [v for k, v in got.items()
+          if k[1] == "expect_column_distinct_values_to_contain_set"]
+    assert len(ds) == 8 and not any(v[0] for v in ds)
+
+    # map_window: per-partition order violations sum to the global count
+    inc = [v for k, v in got.items()
+           if k[1] == "expect_column_values_to_be_increasing"]
+    inc_global = next(r for r in sunk.results
+                      if r.expectation_config.expectation_type
+                      == "expect_column_values_to_be_increasing")
+    assert sum(u[1] for u in inc) == inc_global.result["unexpected_count"]
+    assert inc_global.result["unexpected_count"] > 0  # x wraps inside buckets
