@@ -356,15 +356,41 @@ def main() -> None:
                 return json.loads(line[len("SCALERESULT "):])
         raise RuntimeError(f"child cpus={cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
-    bw_before = _bandwidth_control()
-    lo = child(CPU_LO)
-    hi = child(CPU_HI)
+    # Interleaved repetitions (r5): steal-gating catches hypervisor CPU
+    # theft but NOT co-tenant memory-bandwidth contention (round-4 audit:
+    # same code, zero steal, 3x slower). Running the whole N phase then the
+    # whole 4N phase means a contended half-hour biases ONE level and the
+    # efficiency ratio with it — in either direction (measured both: a
+    # dirty 4N window gave 0.53, a dirty N window gave a nonsense 1.58).
+    # Interleaving N/4N pairs and taking the BEST throughput per level per
+    # workload estimates the uncontended box at both levels; every rep's
+    # numbers and bandwidth control are kept in the JSON so the selection
+    # is auditable, and verdict parity is asserted on EVERY rep.
+    reps = int(os.environ.get("SPARKCHECK_SCALE_REPS", "1"))
+    runs = []
+    for rep in range(reps):
+        bw = _bandwidth_control()
+        lo_r = child(CPU_LO)
+        hi_r = child(CPU_HI)
+        runs.append({"bw": bw, "lo": lo_r, "hi": hi_r})
+    bw_before = runs[0]["bw"]
     bw_after = _bandwidth_control()
+
+    def best(level: str, key: str) -> dict:
+        return max((r[level] for r in runs),
+                   key=lambda d: d[f"{key}_clips_per_sec"])
+
     factor = CPU_HI / CPU_LO
-    eff_meta = (hi["meta_clips_per_sec"] / lo["meta_clips_per_sec"]) / factor
-    eff_snr = (hi["snr_clips_per_sec"] / lo["snr_clips_per_sec"]) / factor
-    eff_snr_h = (hi["snr_hash_clips_per_sec"] / lo["snr_hash_clips_per_sec"]) / factor
-    eff_pm = (hi["payload_clips_per_sec"] / lo["payload_clips_per_sec"]) / factor
+    lo_w = {k: best("lo", k) for k in ("meta", "snr", "snr_hash", "payload")}
+    hi_w = {k: best("hi", k) for k in ("meta", "snr", "snr_hash", "payload")}
+    eff_meta = (hi_w["meta"]["meta_clips_per_sec"]
+                / lo_w["meta"]["meta_clips_per_sec"]) / factor
+    eff_snr = (hi_w["snr"]["snr_clips_per_sec"]
+               / lo_w["snr"]["snr_clips_per_sec"]) / factor
+    eff_snr_h = (hi_w["snr_hash"]["snr_hash_clips_per_sec"]
+                 / lo_w["snr_hash"]["snr_hash_clips_per_sec"]) / factor
+    eff_pm = (hi_w["payload"]["payload_clips_per_sec"]
+              / lo_w["payload"]["payload_clips_per_sec"]) / factor
     out = {
         "workload_clips": {"metadata_suite": N_META, "snr_invariant": N_SNR,
                            "snr_clip_ms_cap": SNR_MS,
@@ -372,38 +398,61 @@ def main() -> None:
                            "snr_hash_clip_ms_cap": SNR_HASH_MS},
         "n_parallelism": CPU_LO, "4n_parallelism": CPU_HI,
         "metadata_suite": {
-            "throughput_at_N": lo["meta_clips_per_sec"],
-            "throughput_at_4N": hi["meta_clips_per_sec"],
-            "sec_at_N": lo["meta_sec"], "sec_at_4N": hi["meta_sec"],
-            "steal_j": [lo["meta_steal_j"], hi["meta_steal_j"]],
-            "tries": [lo["meta_tries"], hi["meta_tries"]],
+            "throughput_at_N": lo_w["meta"]["meta_clips_per_sec"],
+            "throughput_at_4N": hi_w["meta"]["meta_clips_per_sec"],
+            "sec_at_N": lo_w["meta"]["meta_sec"],
+            "sec_at_4N": hi_w["meta"]["meta_sec"],
+            "steal_j": [lo_w["meta"]["meta_steal_j"],
+                        hi_w["meta"]["meta_steal_j"]],
+            "tries": [lo_w["meta"]["meta_tries"],
+                      hi_w["meta"]["meta_tries"]],
             "scaling_efficiency": round(eff_meta, 3),
         },
         "snr_invariant": {
-            "throughput_at_N": lo["snr_clips_per_sec"],
-            "throughput_at_4N": hi["snr_clips_per_sec"],
-            "sec_at_N": lo["snr_sec"], "sec_at_4N": hi["snr_sec"],
-            "steal_j": [lo["snr_steal_j"], hi["snr_steal_j"]],
-            "tries": [lo["snr_tries"], hi["snr_tries"]],
+            "throughput_at_N": lo_w["snr"]["snr_clips_per_sec"],
+            "throughput_at_4N": hi_w["snr"]["snr_clips_per_sec"],
+            "sec_at_N": lo_w["snr"]["snr_sec"],
+            "sec_at_4N": hi_w["snr"]["snr_sec"],
+            "steal_j": [lo_w["snr"]["snr_steal_j"],
+                        hi_w["snr"]["snr_steal_j"]],
+            "tries": [lo_w["snr"]["snr_tries"], hi_w["snr"]["snr_tries"]],
             "scaling_efficiency": round(eff_snr, 3),
         },
         "snr_invariant_hash_ingest": {
-            "throughput_at_N": lo["snr_hash_clips_per_sec"],
-            "throughput_at_4N": hi["snr_hash_clips_per_sec"],
-            "sec_at_N": lo["snr_hash_sec"], "sec_at_4N": hi["snr_hash_sec"],
-            "steal_j": [lo["snr_hash_steal_j"], hi["snr_hash_steal_j"]],
-            "tries": [lo["snr_hash_tries"], hi["snr_hash_tries"]],
+            "throughput_at_N": lo_w["snr_hash"]["snr_hash_clips_per_sec"],
+            "throughput_at_4N": hi_w["snr_hash"]["snr_hash_clips_per_sec"],
+            "sec_at_N": lo_w["snr_hash"]["snr_hash_sec"],
+            "sec_at_4N": hi_w["snr_hash"]["snr_hash_sec"],
+            "steal_j": [lo_w["snr_hash"]["snr_hash_steal_j"],
+                        hi_w["snr_hash"]["snr_hash_steal_j"]],
+            "tries": [lo_w["snr_hash"]["snr_hash_tries"],
+                      hi_w["snr_hash"]["snr_hash_tries"]],
             "scaling_efficiency": round(eff_snr_h, 3),
         },
         "payload_match_prescreen_only": {
-            "throughput_at_N": lo["payload_clips_per_sec"],
-            "throughput_at_4N": hi["payload_clips_per_sec"],
-            "sec_at_N": lo["payload_sec"], "sec_at_4N": hi["payload_sec"],
-            "steal_j": [lo["payload_steal_j"], hi["payload_steal_j"]],
-            "tries": [lo["payload_tries"], hi["payload_tries"]],
+            "throughput_at_N": lo_w["payload"]["payload_clips_per_sec"],
+            "throughput_at_4N": hi_w["payload"]["payload_clips_per_sec"],
+            "sec_at_N": lo_w["payload"]["payload_sec"],
+            "sec_at_4N": hi_w["payload"]["payload_sec"],
+            "steal_j": [lo_w["payload"]["payload_steal_j"],
+                        hi_w["payload"]["payload_steal_j"]],
+            "tries": [lo_w["payload"]["payload_tries"],
+                      hi_w["payload"]["payload_tries"]],
             "scaling_efficiency": round(eff_pm, 3),
         },
-        "verdicts_identical_across_sizes": lo["verdicts"] == hi["verdicts"],
+        "verdicts_identical_across_sizes": all(
+            r["lo"]["verdicts"] == r["hi"]["verdicts"]
+            and r["lo"]["verdicts"] == runs[0]["lo"]["verdicts"]
+            for r in runs),
+        "reps": [{
+            "bw_gbps": r["bw"],
+            "lo_clips_per_sec": {k: r["lo"][f"{k}_clips_per_sec"]
+                                 for k in ("meta", "snr", "snr_hash",
+                                           "payload")},
+            "hi_clips_per_sec": {k: r["hi"][f"{k}_clips_per_sec"]
+                                 for k in ("meta", "snr", "snr_hash",
+                                           "payload")},
+        } for r in runs],
         "box_bandwidth_control": {"before": bw_before, "after": bw_after},
         "unit": "clips/sec",
         "methodology": (
@@ -412,7 +461,12 @@ def main() -> None:
             "cluster does not have: storage bandwidth arrives with "
             "executors); each workload timed with hypervisor-steal gating "
             "(retry when steal during the run exceeds ~10% of one core; "
-            "steal_j reported per measurement). See BASELINE.md."),
+            "steal_j reported per measurement); N/4N pairs run INTERLEAVED "
+            "for SPARKCHECK_SCALE_REPS repetitions and each level reports "
+            "its best-throughput rep (estimates the uncontended box at both "
+            "levels; co-tenant bandwidth contention does not show in steal "
+            "— all reps kept under 'reps' for audit, verdict parity "
+            "asserted on every rep). See BASELINE.md."),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_results.json")
     with open(path, "w") as f:
