@@ -108,6 +108,26 @@ _DRIFT_SCORES_MERGEABLE = {"kl", "ks", "psi", "chisq_p", "ks_param_p"}
 # default DataSketches KLL k: ~0.8% one-sided normalized rank error at 99%
 # confidence, 4-5 KB serialized — override per expectation with kll_k=
 KLL_DEFAULT_K = 200
+# published DataSketches KLL accuracy model (single-sided, 99% confidence):
+# eps(k) ≈ 2.296 / k^0.9 — inverted to honor allow_relative_error
+_KLL_EPS_COEF, _KLL_EPS_EXP = 2.296, 0.9
+_KLL_MAX_K = 16384  # ~0.04% rank error, ~300 KB sketch — still stats-file KB
+
+
+def _kll_k_for(kw: dict) -> int:
+    """Effective KLL k for a quantile expectation: explicit ``kll_k`` wins;
+    otherwise a positive ``allow_relative_error`` is treated as the caller's
+    rank-error tolerance and k is derived from the inverted accuracy model
+    (never below the default — tighter than requested is always safe).
+    Tolerances the largest supported sketch cannot deliver are rejected at
+    classification time, not silently rounded to k=200."""
+    if "kll_k" in kw:
+        return int(kw["kll_k"])
+    err = kw.get("allow_relative_error", False)
+    if isinstance(err, (int, float)) and not isinstance(err, bool) and err > 0:
+        k = math.ceil((_KLL_EPS_COEF / float(err)) ** (1.0 / _KLL_EPS_EXP))
+        return max(KLL_DEFAULT_K, k)
+    return KLL_DEFAULT_K
 
 
 def _suite_fingerprint(suite: ExpectationSuite) -> str:
@@ -177,6 +197,14 @@ def _classify_item(item: CompiledItem, *,
                     "statistics — drop the exactness opt-in (exact=True / "
                     "allow_relative_error=0 / interpolation='linear') to "
                     "merge a KLL sketch, or run a full validation")
+            if _kll_k_for(kw) > _KLL_MAX_K:
+                raise _Unsupported(
+                    f"allow_relative_error={err} is tighter than the "
+                    f"largest supported merge sketch delivers (KLL "
+                    f"k={_KLL_MAX_K} ≈ "
+                    f"{_KLL_EPS_COEF / _KLL_MAX_K ** _KLL_EPS_EXP:.2%} rank "
+                    "error) — loosen it, pass kll_k= explicitly, or run a "
+                    "full validation")
             return "kll:quantiles"
         raise _Unsupported(
             f"{handler} is not mergeable (unique proportion needs exact "
@@ -308,7 +336,7 @@ class IncrementalCheckpoint:
                         self._owning_domain(item).slot_table.exprs[alias],
                         "sum")
             elif strat.startswith("kll:"):
-                k = int(kw.get("kll_k", KLL_DEFAULT_K))
+                k = _kll_k_for(kw)
                 add(f"inc::kll::{kw['column']}::{k}",
                     F.kll_sketch_agg_double(
                         F.col(kw["column"]).cast("double"), F.lit(k)),
@@ -537,12 +565,27 @@ class IncrementalCheckpoint:
                 if strat.startswith("kll:"):
                     kw = item.kwargs
                     key = (f"inc::kll::{kw['column']}"
-                           f"::{int(kw.get('kll_k', KLL_DEFAULT_K))}")
+                           f"::{_kll_k_for(kw)}")
                     qs = ({0.5} if strat == "kll:median"
                           else {float(q) for q in item.info["quantiles"]})
                     kll_need.setdefault(f"{did}\x00{key}", set()).update(qs)
             acc: dict = {}
             for key, s in stats.items():
+                # A key the CURRENT engine folds but a stored delta lacks
+                # means that delta was validated by an engine version that
+                # classified the expectation as unsupported (e.g. median /
+                # quantiles before KLL merging existed): merging only the
+                # sketches that exist would silently report partial-data
+                # verdicts as whole-table ones. Raise loudly, like
+                # _job_verdict does for missing job counts.
+                absent = [d["snapshot_id"] for d in deltas
+                          if key not in d["domains"].get(did, {})]
+                if absent:
+                    raise ValueError(
+                        f"snapshot(s) {absent} have no stored statistic "
+                        f"{key!r} — they were validated by an engine version "
+                        "that did not fold it; re-validate them or start a "
+                        "fresh stats store")
                 vals = [_decode(d["domains"].get(did, {}).get(key))
                         for d in deltas]
                 op = s["op"]
@@ -765,7 +808,7 @@ class IncrementalCheckpoint:
             return vr._between_evr(item, value)
         if strat.startswith("kll:"):
             c = kw["column"]
-            k = int(kw.get("kll_k", KLL_DEFAULT_K))
+            k = _kll_k_for(kw)
             qmap = inv_rows.get(f"inc::kll::{c}::{k}") or {}
             note = {"strategy": "kll_sketch_merge",
                     "kll_k": k,
@@ -815,12 +858,17 @@ def _maybe_temporal(value, kw: dict):
     string back when the expectation declares datetime semantics."""
     if isinstance(value, str) and kw.get("parse_strings_as_datetimes"):
         import datetime
-        for parse in (datetime.datetime.fromisoformat,
-                      datetime.date.fromisoformat):
-            try:
-                return parse(value)
-            except ValueError:
-                continue
+        # str(date) is exactly 'YYYY-MM-DD'; decode it back to a date, not
+        # a midnight datetime (datetime.fromisoformat also accepts
+        # date-only strings, so it must not be tried first — a decoded
+        # midnight datetime compared against a date bound raises TypeError
+        # and diverges from full validation's observed_value rendering).
+        parse = (datetime.date.fromisoformat if len(value) == 10
+                 else datetime.datetime.fromisoformat)
+        try:
+            return parse(value)
+        except ValueError:
+            return value
     return value
 
 

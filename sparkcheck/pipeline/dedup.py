@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -260,16 +262,29 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         # conflicting pre-set dir is an explicit error, not a clobber.
         current = spark.sparkContext._jsc.sc().getCheckpointDir()
         existing = current.get() if current.isDefined() else None
+
+        def _path_part(p: str) -> str:
+            # setCheckpointDir stores a scheme-qualified UUID SUBDIR of the
+            # requested path ('/tmp/cc' -> 'file:/tmp/cc/<uuid>'); compare
+            # path parts only, so a repeat call with the same plain path is
+            # recognized instead of raising on its own directory.
+            if "://" in p:  # hdfs://nn/path, s3a://bucket/path
+                rest = p.split("://", 1)[1]
+                p = rest[rest.index("/"):] if "/" in rest else "/"
+            elif p.startswith("file:"):
+                p = p[len("file:"):]
+            return posixpath.normpath(p)
+
         if existing is None:
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        elif existing.rstrip("/") != checkpoint_dir.rstrip("/") and \
-                not existing.rstrip("/").startswith(
-                    checkpoint_dir.rstrip("/")):
-            raise ValueError(
-                f"SparkContext already has checkpoint dir {existing!r}; "
-                f"refusing to clobber it with {checkpoint_dir!r} — either "
-                "omit checkpoint_dir (the session's is used) or set the "
-                "session-level dir to the desired path")
+        else:
+            req, ex = _path_part(checkpoint_dir), _path_part(existing)
+            if ex != req and posixpath.dirname(ex) != req:
+                raise ValueError(
+                    f"SparkContext already has checkpoint dir {existing!r}; "
+                    f"refusing to clobber it with {checkpoint_dir!r} — "
+                    "either omit checkpoint_dir (the session's is used) or "
+                    "set the session-level dir to the desired path")
 
     def _truncate(df: DataFrame, eager: bool) -> DataFrame:
         if checkpoint_dir is not None:

@@ -539,9 +539,21 @@ class ValidationRun:
                         min_v = parsed
                     else:
                         max_v = parsed
+        import datetime as _dt
+        cmp_value = value
+        if (isinstance(value, _dt.date)
+                and not isinstance(value, _dt.datetime)
+                and (isinstance(min_v, _dt.datetime)
+                     or isinstance(max_v, _dt.datetime))):
+            # DATE column vs dateutil-parsed bounds (always datetimes):
+            # python refuses date-vs-datetime comparison, so compare the
+            # day's midnight but keep the date for observed_value rendering
+            cmp_value = _dt.datetime.combine(value, _dt.time.min)
         out = validate_metric_value_between(
-            value, min_v, max_v,
+            cmp_value, min_v, max_v,
             kw.get("strict_min", False), kw.get("strict_max", False))
+        if cmp_value is not value:
+            out["result"]["observed_value"] = value
         if kw.get("parse_strings_as_datetimes") and out["result"].get(
                 "observed_value") is not None:
             import datetime as _dt

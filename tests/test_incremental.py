@@ -468,3 +468,98 @@ def test_datetime_min_max_merge(spark, tmp_path):
     assert [r.success for r in res.results] == [True, True]
     # max over both snapshots is the last second of s2
     assert res.results[0].result["observed_value"] == "2024-01-01 00:16:39"
+
+def test_date_min_max_merge_decodes_date_not_midnight(spark, tmp_path):
+    """A DATE column's fold value is JSON-stored as 'YYYY-MM-DD'; the merge
+    must decode it back to a date (str(date) == the stored form), not a
+    midnight datetime — the merged observed_value rendering must match full
+    validation's exactly."""
+    path = str(tmp_path / "d")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.expr("date'2024-01-01' + make_interval(0,0,0,id)").alias("d"))
+    write_table(mk(0, 50), path, snapshot_id="s1")
+    write_table(mk(50, 100), path, snapshot_id="s2", mode="append")
+    suite = (ExpectationSuite("d")
+             .add("expect_column_max_to_be_between", column="d",
+                  min_value="2024-01-01", max_value="2024-12-31",
+                  parse_strings_as_datetimes=True)
+             .add("expect_column_min_to_be_between", column="d",
+                  min_value="2023-12-31", parse_strings_as_datetimes=True))
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"), strict=True)
+    inc.validate_table(spark, path)
+    merged = inc.merged_result()
+    full = validate(mk(0, 100), suite)
+    assert [r.success for r in merged.results] == [
+        r.success for r in full.results] == [True, True]
+    assert [r.result["observed_value"] for r in merged.results] == [
+        r.result["observed_value"] for r in full.results]
+
+
+def test_allow_relative_error_sizes_kll_sketch(spark, tmp_path):
+    """A positive allow_relative_error is honored as the caller's rank-error
+    tolerance: k is derived from the inverted published KLL accuracy model
+    (never below the default), an explicit kll_k= wins, and a tolerance the
+    largest supported sketch cannot deliver is refused at classification
+    time, not silently rounded down to the default."""
+    from sparkcheck.incremental import (KLL_DEFAULT_K, _KLL_MAX_K, _kll_k_for)
+    assert _kll_k_for({}) == KLL_DEFAULT_K
+    # loose tolerance never drops below the default k (tighter is safe)
+    assert _kll_k_for({"allow_relative_error": 0.5}) == KLL_DEFAULT_K
+    k_tight = _kll_k_for({"allow_relative_error": 0.001})
+    assert KLL_DEFAULT_K < k_tight <= _KLL_MAX_K
+    assert _kll_k_for({"allow_relative_error": 0.001, "kll_k": 300}) == 300
+
+    def q_suite(**extra):
+        return ExpectationSuite("k").add(
+            "expect_column_quantile_values_to_be_between", column="v",
+            quantile_ranges={"quantiles": [0.5], "value_ranges": [[0, 600]]},
+            **extra)
+
+    # undeliverable tolerance -> declared unsupported (strict=True raises)
+    with pytest.raises(ValueError, match="tighter than the largest"):
+        IncrementalCheckpoint(q_suite(allow_relative_error=1e-6),
+                              str(tmp_path / "s0"), strict=True)
+    # deliverable tolerance -> merges, and the derived k is recorded
+    inc = IncrementalCheckpoint(q_suite(allow_relative_error=0.001),
+                                str(tmp_path / "s1"), strict=True)
+    write_table(_mkdf(spark, 0, 500), str(tmp_path / "t"), snapshot_id="a")
+    write_table(_mkdf(spark, 500, 1000), str(tmp_path / "t"),
+                snapshot_id="b", mode="append")
+    inc.validate_table(spark, str(tmp_path / "t"))
+    r = inc.merged_result(spark).results[0]
+    assert r.result["details"]["kll_k"] == k_tight
+    full = validate(_mkdf(spark, 0, 1000), q_suite()).results[0]
+    # k~5400 => <=0.1% of 1000 ranks => ~1 rank ~ 1 value unit; allow 3
+    assert r.result["observed_value"]["values"][0] == pytest.approx(
+        full.result["observed_value"]["values"][0], abs=3)
+
+
+def test_missing_stored_statistic_refuses_partial_merge(spark, tmp_path):
+    """A delta validated by an engine version that did not fold a statistic
+    the current engine needs (e.g. median before KLL merging existed) must
+    fail the merge loudly — merging only the sketches that exist would
+    report partial-data verdicts as whole-table ones."""
+    import glob
+    import json as _json
+    path = str(tmp_path / "t")
+    write_table(_mkdf(spark, 0, 500), path, snapshot_id="s1")
+    write_table(_mkdf(spark, 500, 1000), path, snapshot_id="s2",
+                mode="append")
+    suite = ExpectationSuite("m").add(
+        "expect_column_median_to_be_between", column="v",
+        min_value=0, max_value=600)
+    store = str(tmp_path / "store")
+    inc = IncrementalCheckpoint(suite, store, strict=True)
+    inc.validate_table(spark, path)
+    # simulate the older-engine artifact: strip the kll key from s1's stats
+    [s1_file] = glob.glob(os.path.join(store, "stats", "s1.json"))
+    with open(s1_file) as f:
+        stats = _json.load(f)
+    for dom in stats["domains"].values():
+        for key in [k for k in dom if k.startswith("inc::kll::")]:
+            del dom[key]
+    with open(s1_file, "w") as f:
+        _json.dump(stats, f)
+    inc2 = IncrementalCheckpoint(suite, store, strict=True)
+    with pytest.raises(ValueError, match="no stored statistic"):
+        inc2.merged_result(spark)

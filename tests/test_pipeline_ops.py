@@ -376,6 +376,18 @@ class TestDuplicateClusters:
         # the reliable checkpoint actually wrote round snapshots
         import os
         assert any(os.scandir(tmp_path / "cc"))
+        # Repeat call with the SAME plain path must not raise: Spark stores
+        # a scheme-qualified UUID subdir ('file:/dir/<uuid>'), so a naive
+        # equality check rejects its own directory on the second call.
+        again = {r["id"]: r["cluster"] for r in
+                 duplicate_clusters(
+                     pairs, checkpoint_dir=str(tmp_path / "cc")).collect()}
+        assert again == base
+        # ... while a genuinely different dir is still refused, including a
+        # same-prefix sibling ('/x/cc2' vs stored '/x/cc/<uuid>').
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="refusing to clobber"):
+            duplicate_clusters(pairs, checkpoint_dir=str(tmp_path / "cc2"))
 
 
 class TestLangIdEdges:
