@@ -206,9 +206,15 @@ def _classify_item(item: CompiledItem, *,
                     "error) — loosen it, pass kll_k= explicitly, or run a "
                     "full validation")
             return "kll:quantiles"
-        raise _Unsupported(
-            f"{handler} is not mergeable (unique proportion needs exact "
-            "distinct)")
+        if handler == "unique_proportion":
+            if item.kwargs.get("approximate"):
+                return "unique_proportion:hll"
+            raise _Unsupported(
+                "exact unique proportion needs an exact distinct count, "
+                "which does not decompose into per-delta statistics — pass "
+                "approximate=True for a mergeable HLL sketch (distinct "
+                "estimate / nonnull count), or run a full validation")
+        raise _Unsupported(f"{handler} is not mergeable")
     if kind == "drift":
         if item.info.get("auto"):
             raise _Unsupported(
@@ -341,6 +347,14 @@ class IncrementalCheckpoint:
                     F.kll_sketch_agg_double(
                         F.col(kw["column"]).cast("double"), F.lit(k)),
                     "kll")
+            elif strat == "unique_proportion:hll":
+                col = F.col(kw["column"])
+                lg = _rsd_to_lg_config_k(float(kw.get("rsd", 0.05)))
+                # lg in the key: two expectations on the same column with
+                # different rsd must not share (and silently degrade) a sketch
+                add(f"inc::hllp::{kw['column']}::{lg}",
+                    F.hll_sketch_agg(col, F.lit(lg)), "hll")
+                add(f"inc::nncnt::{kw['column']}", F.count(col), "sum")
             elif strat.startswith("agg:"):
                 col = F.col(kw["column"])
                 dbl = col.cast("double")
@@ -834,6 +848,21 @@ class IncrementalCheckpoint:
                 result={"observed_value": {"quantiles": quantiles,
                                            "values": values},
                         "details": {"success_details": successes, **note}})
+        if strat == "unique_proportion:hll":
+            c = kw["column"]
+            lg = _rsd_to_lg_config_k(float(kw.get("rsd", 0.05)))
+            distinct = inv_rows.get(f"inc::hllp::{c}::{lg}")
+            nonnull = int(inv_rows.get(f"inc::nncnt::{c}") or 0)
+            value = (distinct / nonnull) if nonnull else None
+            evr = vr._between_evr(item, value)
+            evr.result.setdefault("details", {}).update({
+                "strategy": "hll_union_incremental",
+                "approx_distinct": distinct,
+                "nonnull_count": nonnull,
+                "note": ("proportion = merged DataSketches HLL distinct "
+                         "estimate / summed nonnull count; distinct "
+                         "standard error ≈ 1.04/sqrt(2^lgConfigK)")})
+            return evr
         if strat in ("row_count", "distinct_set"):
             return vr._agg_custom_evr(item, row)
         if strat == "drift":

@@ -244,7 +244,16 @@ def _compile_agg_custom(dp: DomainPlan, item: CompiledItem) -> None:
         item.info["quantiles"] = quantiles
     elif handler == "unique_proportion":
         col = F.col(kw["column"])
-        item.slots["distinct"] = st.add(f"agg::countDistinct::{kw['column']}", F.count_distinct(col))
+        if kw.get("approximate"):
+            # HLL++ estimate / nonnull — mergeable across partitions AND
+            # across incremental snapshots (same opt-in semantics as
+            # expect_column_unique_value_count_to_be_between)
+            rsd = float(kw.get("rsd", 0.05))
+            item.slots["distinct"] = st.add(
+                f"agg::approxCountDistinct::{kw['column']}::{rsd}",
+                F.approx_count_distinct(col, rsd))
+        else:
+            item.slots["distinct"] = st.add(f"agg::countDistinct::{kw['column']}", F.count_distinct(col))
         item.slots["nonnull"] = st.add(f"nonnull::col:{kw['column']}", _count_if(col.isNotNull()))
     elif handler == "distinct_set":
         col = F.col(kw["column"])

@@ -563,3 +563,40 @@ def test_missing_stored_statistic_refuses_partial_merge(spark, tmp_path):
     inc2 = IncrementalCheckpoint(suite, store, strict=True)
     with pytest.raises(ValueError, match="no stored statistic"):
         inc2.merged_result(spark)
+
+def test_approximate_unique_proportion_merges(spark, tmp_path):
+    """unique proportion merges with approximate=True: per-delta HLL
+    sketches union losslessly across snapshots (overlapping values are NOT
+    double-counted the way summed per-delta distinct counts would be);
+    exact form stays declared-unsupported with a pointed message."""
+    exact = ExpectationSuite("u").add(
+        "expect_column_proportion_of_unique_values_to_be_between",
+        column="v", min_value=0.5, max_value=1.0)
+    with pytest.raises(ValueError, match="approximate=True"):
+        IncrementalCheckpoint(exact, str(tmp_path / "s0"), strict=True)
+
+    suite = ExpectationSuite("u").add(
+        "expect_column_proportion_of_unique_values_to_be_between",
+        column="v", min_value=0.5, max_value=1.0, approximate=True)
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("v"))
+    # s1 = [0,500), s2 = [250,750): 750 distinct over 1000 rows — a naive
+    # sum of per-delta distincts would claim 1.0
+    write_table(mk(0, 500), path, snapshot_id="s1")
+    write_table(mk(250, 750), path, snapshot_id="s2", mode="append")
+    inc = IncrementalCheckpoint(suite, str(tmp_path / "store"), strict=True)
+    inc.validate_table(spark, path)
+    r = inc.merged_result(spark).results[0]
+    assert r.success
+    assert r.result["observed_value"] == pytest.approx(0.75, rel=0.1)
+    d = r.result["details"]
+    assert d["strategy"] == "hll_union_incremental"
+    assert d["nonnull_count"] == 1000
+    assert d["approx_distinct"] == pytest.approx(750, rel=0.1)
+    # full-validation parity: approximate=True uses approx_count_distinct
+    # in the fused pass, so both paths carry the same declared tolerance
+    full = validate(mk(0, 500).union(mk(250, 750)), suite).results[0]
+    assert full.success
+    assert r.result["observed_value"] == pytest.approx(
+        full.result["observed_value"], rel=0.1)
