@@ -2025,6 +2025,28 @@ def q_audio_header_check(spark, sf_dir):
         "element_count bigint, unexpected_count bigint, success boolean")
 
 
+def q_audio_duration_check(spark, sf_dir):
+    """Payload-vs-metadata duration consistency for canonical PCM16 WAV
+    (expect_audio_pcm_duration_to_match_metadata) — pure Catalyst over
+    F.length/F.substring, zero decode, zero python, fused into the metadata
+    agg pass. dur_column points at least(dur_ms, cap): the fixture caps the
+    synthesized payload at 120 ms, so the byte-implied duration equals the
+    capped metadata exactly except at the corrupted-sr sites. Oracle =
+    fixture_math.expected_pcm_duration_summary (closed form)."""
+    from sparkcheck import ExpectationSuite, validate
+    from sparkcheck.io import generate_audio_clips
+    dirty = generate_audio_clips(spark, 4000, num_partitions=8).withColumn(
+        "dur_capped", F.least(F.col("dur_ms"), F.lit(120)).cast("int"))
+    r = validate(dirty, ExpectationSuite("d").add(
+        "expect_audio_pcm_duration_to_match_metadata",
+        dur_column="dur_capped")).results[0]
+    return spark.createDataFrame(
+        [(int(r.result["element_count"]), int(r.result["missing_count"]),
+          int(r.result["unexpected_count"]), bool(r.success))],
+        "element_count bigint, missing_count bigint, unexpected_count bigint, "
+        "success boolean")
+
+
 def q_audio_transcript_rate(spark, sf_dir):
     """Audio x transcript consistency: transcript words-per-second vs clip
     duration (expect_transcript_words_per_second_to_be_between) — a pure
@@ -2105,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: never driver-gated ------------------------------------
         "audio_payload_match": q_audio_payload_match,
         "audio_transcript_rate": q_audio_transcript_rate,
+        "audio_duration_check": q_audio_duration_check,
         # -- tier 2: driver-green in r2/r3, dropped from r4's 50 ------------
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -2254,6 +2277,7 @@ def _audio_oracle_sql() -> dict[str, str]:
                                          expected_header_summary,
                                          expected_partition_verdicts,
                                          expected_payload_summary,
+                                         expected_pcm_duration_summary,
                                          expected_snr_summary,
                                          expected_transcript_rate_summary)
 
@@ -2278,6 +2302,7 @@ def _audio_oracle_sql() -> dict[str, str]:
         "audio_snr_invariant": counts_sql(expected_snr_summary(3000)),
         "audio_payload_match": counts_sql(expected_payload_summary(3000)),
         "audio_header_check": counts_sql(expected_header_summary(4000)),
+        "audio_duration_check": _wps_sql(expected_pcm_duration_summary(4000)),
         "audio_transcript_rate": _wps_sql(expected_transcript_rate_summary(20_000)),
         "audio_features": (
             f"SELECT CAST({feats['n_clips']} AS BIGINT) AS n_clips, "

@@ -359,6 +359,47 @@ def _words_per_second(kw: dict) -> Column:
                         F.col(kw["column_B"]).cast("double") / 1000.0)
 
 
+# payload-vs-metadata duration consistency for canonical PCM16 mono WAV:
+# the duration implied by the payload byte length ((len - header)/2 samples
+# at sr_hz) must match the dur_ms metadata column within tolerance_ms. Pure
+# Catalyst (F.length / F.substring on binary) — zero decode, zero python,
+# fused into the single metadata agg pass like any other map condition, so
+# at 10^12 rows it costs one whole-stage-codegen pass over already-read
+# bytes. The canonical-header assumption (header_bytes=44, PCM16 mono) is
+# the contract; non-canonical containers need the parsed
+# expect_audio_header_to_match_metadata check instead. Ours: the reference
+# has no binary operators.
+
+
+def _pcm_duration_ms(kw: dict) -> Column:
+    data = (F.length(F.col(kw["bytes_column"]))
+            - F.lit(int(kw["header_bytes"]))).cast("double")
+    # try_divide: NULL (not an ANSI error) on sr_hz == 0; the condition's
+    # (sr_hz > 0) conjunct already marks those rows unexpected
+    return F.try_divide(data / 2.0 * 1000.0,
+                        F.col(kw["sr_column"]).cast("double"))
+
+
+_reg(ExpectationSpec(
+    "expect_audio_pcm_duration_to_match_metadata", "map",
+    condition=lambda kw: (
+        (F.substring(F.col(kw["bytes_column"]), 1, 4) == F.lit(b"RIFF"))
+        & (F.col(kw["sr_column"]) > 0)
+        & (F.abs(_pcm_duration_ms(kw)
+                 - F.col(kw["dur_column"]).cast("double"))
+           <= F.lit(float(kw["tolerance_ms"])))),
+    nonnull=lambda kw: (F.col(kw["bytes_column"]).isNotNull()
+                        & F.col(kw["sr_column"]).isNotNull()
+                        & F.col(kw["dur_column"]).isNotNull()),
+    sample_value=lambda kw: F.struct(
+        F.col(kw["dur_column"]).alias("dur_ms"),
+        F.round(_pcm_duration_ms(kw), 3).alias("pcm_ms"),
+        F.col(kw["sr_column"]).alias("sr_hz"),
+        F.length(F.col(kw["bytes_column"])).alias("payload_bytes")),
+    defaults={**_MOSTLY, "bytes_column": "bytes", "sr_column": "sr_hz",
+              "dur_column": "dur_ms", "tolerance_ms": 1.0,
+              "header_bytes": 44}))
+
 _reg(ExpectationSpec(
     "expect_transcript_words_per_second_to_be_between", "map",
     condition=lambda kw: (F.col(kw["column_B"]) > 0)

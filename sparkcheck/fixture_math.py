@@ -165,6 +165,23 @@ def expected_header_summary(n_rows: int) -> dict:
             "success": int(bad.sum()) == 0}
 
 
+def expected_pcm_duration_summary(n_rows: int, *, cap_ms: int = 120) -> dict:
+    """expect_audio_pcm_duration_to_match_metadata over the dirty table with
+    ``dur_column`` pointing at least(dur_ms, cap_ms): the payload always
+    encodes exactly min(dur_ms, cap_ms) of PCM at the clean base sr (all
+    fixture durations are >= 200 > the 120 default cap, and sr*cap/1000 is
+    integral for every sr choice, so the byte-implied duration equals the
+    capped metadata exactly), while the sr_hz column is corrupted AFTER byte
+    synthesis at the BADSR sites — exactly those (non-null-bytes) rows
+    mismatch. NULL-payload rows are missing, not unexpected."""
+    m = _violation_masks(n_rows)
+    bad = m["bad_sr"] & ~m["null_bytes"]
+    return {"element_count": n_rows,
+            "missing_count": int(m["null_bytes"].sum()),
+            "unexpected_count": int(bad.sum()),
+            "success": int(bad.sum()) == 0}
+
+
 def expected_transcript_rate_summary(n_rows: int, *, min_wps: float = 1.0,
                                      max_wps: float = 40.0) -> dict:
     """(element, missing, unexpected) for

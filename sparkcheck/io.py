@@ -34,7 +34,8 @@ from .fixture_math import (  # noqa: F401 — re-exported for compat
     _clean_pcm, _transcript, _u01, _violation_masks, expected_counts,
     expected_features_summary, expected_frame_rms_summary,
     expected_header_summary, expected_partition_verdicts,
-    expected_payload_summary, expected_snr_summary,
+    expected_payload_summary, expected_pcm_duration_summary,
+    expected_snr_summary,
 )
 from .metrics.audio import encode_wav_pcm16
 

@@ -344,6 +344,41 @@ class TestAudioFeatures:
         r2 = validate(clean, suite).results[0]
         assert r2.result["unexpected_count"] == 0 and r2.success
 
+    def test_pcm_duration_expectation_closed_form(self, spark):
+        """Pure-Catalyst duration-vs-metadata check: closed-form parity on
+        the dirty fixture (corrupted-sr sites fail, NULL bytes are missing),
+        tamper detection, and a plan with ZERO python eval nodes."""
+        from pyspark.sql import functions as F
+        from sparkcheck.io import expected_pcm_duration_summary
+        n = 4000
+        dirty = generate_audio_clips(spark, n, num_partitions=4).withColumn(
+            "dur_capped", F.least(F.col("dur_ms"), F.lit(120)).cast("int"))
+        suite = ExpectationSuite("dur").add(
+            "expect_audio_pcm_duration_to_match_metadata",
+            dur_column="dur_capped")
+        r = validate(dirty, suite).results[0]
+        want = expected_pcm_duration_summary(n)
+        assert r.result["element_count"] == want["element_count"]
+        assert r.result["missing_count"] == want["missing_count"]
+        assert r.result["unexpected_count"] == want["unexpected_count"]
+        # tampered metadata: +10ms on 7 rows is outside the 1ms tolerance
+        tampered = dirty.withColumn(
+            "dur_capped",
+            F.when(F.col("dur_ms") % 100 < 1,
+                   F.col("dur_capped") + 10).otherwise(F.col("dur_capped")))
+        r2 = validate(tampered, suite).results[0]
+        assert r2.result["unexpected_count"] > r.result["unexpected_count"]
+        # the condition must be pure Catalyst: no Arrow/python eval in plan
+        from sparkcheck.planner import compile_suite
+        plan = compile_suite(suite.expectations)
+        (domain,) = plan.domains.values()
+        exprs = [domain.slot_table.exprs[a] for a in
+                 domain.slot_table.exprs]
+        agg_plan = dirty.agg(*[e.alias(f"c{i}")
+                               for i, e in enumerate(exprs)])
+        text = agg_plan._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in text and "mapInPandas" not in text
+
     def test_snr_hash_prescreen_matches_full_decode(self, spark):
         from sparkcheck.io import generate_audio_clips
         dirty = generate_audio_clips(spark, 3000, num_partitions=4)

@@ -52,6 +52,7 @@ _AUDIO_KEYS = {
     "audio_snr_invariant", "audio_payload_match", "audio_suite_partitions",
     "audio_features", "audio_header_check", "audio_frame_rms",
     "audio_transcript_rate",
+    "audio_duration_check",
 }
 
 
