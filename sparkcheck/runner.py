@@ -300,7 +300,15 @@ class ValidationRun:
         score_kind = spec.extra["score"]
         if item.info.get("auto") or kw.get("bootstrap"):
             return None
-        if score_kind == "kl" and "values" in item.info:
+        values = (list(item.info["values"])
+                  if score_kind == "kl" and "values" in item.info else None)
+        if values is not None and float(kw.get("tail_weight_holdout", 0.0)) > 0:
+            # a positive holdout is split per distinct out-of-set value
+            # (tail_weight_holdout / n_unexpected), so per-partition
+            # exactness would need its own (value, partition) job — keep
+            # the narrow driver fallback for this opt-in. With the default
+            # holdout of 0 the verdict is exact from the rollup alone: any
+            # out-of-set mass scores inf however it is split.
             return None
         expected = list(item.info["expected_weights"])
         bins = list(item.info["bins"]) if item.info.get("bins") else None
@@ -310,6 +318,7 @@ class ValidationRun:
         ih = float(kw.get("internal_weight_holdout", 0.0))
         bin_cols = list(item.info["bin_aliases"])
         nb = len(bin_cols)
+        _OUT_OF_SET = object()
 
         def score_batch(*series):
             def val(s, i):
@@ -321,7 +330,19 @@ class ValidationRun:
                 below, above, nonnull = (val(series[nb], i),
                                          val(series[nb + 1], i),
                                          val(series[nb + 2], i))
-                if score_kind == "kl":
+                if score_kind == "kl" and values is not None:
+                    observed = {c: n for c, n in zip(values, counts)}
+                    out_mass = nonnull - sum(counts)
+                    if out_mass > 0.5:
+                        # holdout == 0 (gated above): ANY out-of-set mass
+                        # scores inf regardless of its split across values,
+                        # so one synthetic entry holding the whole mass is
+                        # exact (object() sentinel: never collides with a
+                        # real category)
+                        observed[_OUT_OF_SET] = out_mass
+                    v, _ = sketches.kl_divergence_categorical(
+                        observed, nonnull, values, expected, 0.0)
+                elif score_kind == "kl":
                     v, _ = sketches.kl_divergence(
                         counts, expected, below, above, nonnull, th, ih,
                         bins=bins, expected_tail_weights=tail_w)

@@ -140,7 +140,18 @@ def _dup_df(spark):
                     (F.col("id") % 8).cast("string").alias("bucket"),
                     F.when(F.col("id") % 100 == 7, None)
                     .otherwise(F.col("id") % 1000).alias("v"),
-                    (F.col("id") % 50).cast("double").alias("x")))
+                    (F.col("id") % 50).cast("double").alias("x"),
+                    # per-bucket mix {a,b} (buckets 0-3) / {a,c} (4-7);
+                    # globally a=50% b=25% c=25%
+                    F.when(F.col("id") % 16 < 8, "a")
+                    .when(F.col("id") % 16 < 12, "b")
+                    .otherwise("c").alias("cat"),
+                    # same, plus an out-of-set 'z' that lands ONLY in
+                    # bucket 3 (id % 200 == 3 => id % 8 == 3)
+                    F.when(F.col("id") % 200 == 3, "z")
+                    .when(F.col("id") % 16 < 8, "a")
+                    .when(F.col("id") % 16 < 12, "b")
+                    .otherwise("c").alias("cat2")))
 
 
 def _wide_suite():
@@ -171,7 +182,23 @@ def _wide_suite():
             # bucket's x=id%50 wraps as id climbs by 8 — real violations in
             # every bucket, attributed to the row's own input partition)
             .add("expect_column_values_to_be_increasing", column="x",
-                 group_by="bucket", order_by="id", mostly=0.5))
+                 group_by="bucket", order_by="id", mostly=0.5)
+            # r5 late: categorical KL rides the Arrow sink path when
+            # tail_weight_holdout == 0. Every bucket sees only 2 of the 3
+            # expected values (KL ~= 0.347 > 0.2) while the GLOBAL mix
+            # matches exactly (KL = 0) — global passes, every partition
+            # fails.
+            .add("expect_column_kl_divergence_to_be_less_than",
+                 column="cat", threshold=0.2,
+                 partition_object={"values": ["a", "b", "c"],
+                                   "weights": [0.5, 0.25, 0.25]})
+            # out-of-set 'z' exists only in bucket 3: that partition (and
+            # the global) scores inf with holdout 0 — exercises the
+            # synthetic out-of-set-mass entry in the sink scorer
+            .add("expect_column_kl_divergence_to_be_less_than",
+                 column="cat2", threshold=1.0,
+                 partition_object={"values": ["a", "b", "c"],
+                                   "weights": [0.5, 0.25, 0.25]}))
 
 
 def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
@@ -203,8 +230,28 @@ def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
             assert go is None, k
         else:
             assert go is not None and math.isclose(go, wo, rel_tol=1e-9), k
-    # 8 buckets x 8 expectations
-    assert len(got) == 8 * 8
+    # 8 buckets x 10 expectations
+    assert len(got) == 8 * 10
+
+    # categorical KL (cat): global mix matches exactly (passes) while every
+    # bucket is missing one expected value (fails) — conflation catch
+    kl = {k[0]: v for k, v in got.items()
+          if k[1] == "expect_column_kl_divergence_to_be_less_than"
+          and k[2] == "cat"}
+    kl_global = next(r for r in sunk.results
+                     if r.expectation_config.expectation_type
+                     == "expect_column_kl_divergence_to_be_less_than"
+                     and r.expectation_config.kwargs["column"] == "cat")
+    assert kl_global.success
+    assert len(kl) == 8 and not any(v[0] for v in kl.values())
+    # categorical KL (cat2): only bucket 3 holds the out-of-set value —
+    # it scores inf (fails, observed None); the other buckets pass
+    kl2 = {k[0]: v for k, v in got.items()
+           if k[1] == "expect_column_kl_divergence_to_be_less_than"
+           and k[2] == "cat2"}
+    assert len(kl2) == 8
+    assert not kl2["3"][0] and kl2["3"][4] is None
+    assert all(v[0] for p, v in kl2.items() if p != "3")
 
     # unique: per-partition dup participation sums to the global count
     uniq = [v for k, v in got.items()
