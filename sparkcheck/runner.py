@@ -291,10 +291,13 @@ class ValidationRun:
         function of the partition's fused bin counts, computed by an
         Arrow-batched pandas UDF calling the SAME sketches.* scoring code as
         the driver path — no per-partition row ever reaches the driver.
-        Returns None (driver fallback) for the genuinely driver-bound modes:
-        auto-partition KL (builds the partition from the batch), bootstrapped
-        KS (raw-sample job), and categorical KL (out-of-set mass resolution
-        is its own groupBy job)."""
+        Categorical KL with the default tail_weight_holdout of 0 is scored
+        here too (any out-of-set mass is inf however it splits, so one
+        synthetic entry is exact). Returns None (driver fallback) for the
+        genuinely driver-bound modes: auto-partition KL (builds the
+        partition from the batch), bootstrapped KS (raw-sample job), and
+        categorical KL with a positive holdout (out-of-set expected mass is
+        split per distinct value — its own (value, partition) job)."""
         import pandas as pd
         spec, kw = item.spec, item.kwargs
         score_kind = spec.extra["score"]
@@ -410,7 +413,8 @@ class ValidationRun:
         scores) — the driver reads back only the single global row (a pushed
         `__pid IS NULL` filter on the tiny parquet). The residual
         driver-bound items (exact-opt-in quantiles, auto-partition KL,
-        bootstrapped KS, categorical KL) collect a NARROW projection (that
+        bootstrapped KS, categorical KL with a positive tail_weight_holdout)
+        collect a NARROW projection (that
         item's slot columns only), never the full slot table. Returns the
         global row."""
         import json as _json

@@ -2,7 +2,7 @@
 written distributed (partition_verdict_sink) instead of collect()ed. These
 tests assert exact verdict parity between the collected path and the
 sink-written path across every fused kind (map incl. mostly, agg bounds,
-drift [narrow driver fallback], z-score dependent pass)."""
+drift incl. categorical KL, z-score dependent pass)."""
 
 from __future__ import annotations
 
