@@ -1846,13 +1846,29 @@ class ValidationRun:
             meta={"expectation_suite_name": suite.expectation_suite_name})
 
     def _evr_from_row_quiet(self, item: CompiledItem, row: dict) -> ExpectationValidationResult | None:
-        """Per-partition verdict from a rollup row — no sample collection."""
-        spec = item.spec
+        """Per-partition verdict from a rollup row — no sample collection.
+
+        Returns None when the item's verdict is NOT a pure function of the
+        rollup row (raw-sample bootstrap, auto-built partitions, exact
+        opt-in quantiles, positive-holdout categorical KL with out-of-set
+        mass): scoring those per partition would both attribute a
+        GLOBAL-data value to every partition label and run one driver job
+        per partition. Such items simply have no per-partition rows."""
+        spec, kw = item.spec, item.kwargs
         if spec.kind == "map":
             element = int(row[item.slots["element"]] or 0)
             nonnull = int(row[item.slots["nonnull"]] or 0)
             unexpected = int(row[item.slots["unexpected"]] or 0)
             return self._map_evr_no_samples(item, element, nonnull, unexpected)
+        if spec.kind == "drift":
+            if kw.get("bootstrap") or item.info.get("auto"):
+                return None
+            if "values" in item.info and spec.extra["score"] == "kl":
+                return self._categorical_kl_row_verdict(item, row)
+        if (spec.kind == "agg_custom"
+                and spec.extra.get("handler") == "quantiles"
+                and item.info.get("use_approx_quantile")):
+            return None
         if spec.kind in ("agg", "agg_custom", "drift"):
             rf_save = dict(self.rf)
             try:
@@ -1865,6 +1881,37 @@ class ValidationRun:
             finally:
                 self.rf = rf_save
         return None
+
+    def _categorical_kl_row_verdict(self, item: CompiledItem, row: dict
+                                    ) -> ExpectationValidationResult | None:
+        """Row-local categorical KL — the collected-path twin of the sink
+        scorer's categorical branch. With the default holdout of 0 any
+        out-of-set mass is inf however it splits (one synthetic entry is
+        exact); a positive holdout with out-of-set mass needs its own
+        (value, partition) job, so no per-partition verdict is emitted
+        (the _kl_evr global path would otherwise attribute whole-table
+        out-of-set counts to this partition AND run a groupBy per pid)."""
+        import math
+        kw = item.kwargs
+        counts, _, _, nonnull = self._drift_counts(item, row)
+        th = float(kw.get("tail_weight_holdout", 0.0))
+        values = item.info["values"]
+        observed = {v: float(c) for v, c in zip(values, counts)}
+        out_mass = nonnull - sum(observed.values())
+        if out_mass > 0.5:
+            if th > 0:
+                return None
+            observed[object()] = out_mass
+        value, _ = sketches.kl_divergence_categorical(
+            observed, float(nonnull), values,
+            item.info["expected_weights"], th)
+        threshold = kw.get("threshold")
+        success = (True if threshold is None
+                   else bool(value <= float(threshold)))
+        displayable = not (math.isinf(value) or math.isnan(value))
+        return ExpectationValidationResult(
+            success=success, expectation_config=item.config,
+            result={"observed_value": value if displayable else None})
 
     def _map_evr_no_samples(self, item: CompiledItem, element: int, nonnull: int,
                             unexpected: int) -> ExpectationValidationResult:
