@@ -280,3 +280,35 @@ def test_unique_and_drift_sink_rows_are_distributed(spark, tmp_path):
                       == "expect_column_values_to_be_increasing")
     assert sum(u[1] for u in inc) == inc_global.result["unexpected_count"]
     assert inc_global.result["unexpected_count"] > 0  # x wraps inside buckets
+
+
+def test_non_row_local_items_emit_no_partition_verdicts(spark):
+    """Bootstrap-KS (raw-sample pool) and exact-opt-in quantiles are NOT
+    pure functions of a partition's rollup row: emitting 'per-partition'
+    verdicts for them would copy the GLOBAL value under every partition
+    label and run one driver job per partition. They must emit none, while
+    the global verdicts stay intact and the row-local siblings (asymptotic
+    binned KS, fused-sketch quantiles) still emit 8."""
+    from collections import Counter
+    from pyspark.sql import functions as F
+    df = (spark.range(0, 4000, numPartitions=4)
+          .select((F.col("id") % 8).cast("string").alias("bucket"),
+                  (F.col("id") % 50).cast("double").alias("x")))
+    po = {"bins": [0.0, 10.0, 30.0, 50.0], "weights": [0.2, 0.4, 0.4]}
+    qr = {"quantiles": [0.5], "value_ranges": [[0.0, 49.0]]}
+    suite = (ExpectationSuite("rowlocal")
+             .add("expect_column_bootstrapped_ks_test_p_value_to_be_"
+                  "greater_than", column="x", threshold=1e-9,
+                  bootstrap=True, partition_object=po)
+             .add("expect_column_kl_divergence_to_be_less_than",
+                  column="x", threshold=5.0, partition_object=po)
+             .add("expect_column_quantile_values_to_be_between",
+                  column="x", exact=True, quantile_ranges=qr))
+    res = validate(df, suite, per_partition=True, partition_col="bucket")
+    assert all(r.success for r in res.results)
+    by_type = Counter(v["expectation_type"]
+                      for v in res.meta["partition_verdicts"])
+    assert by_type["expect_column_bootstrapped_ks_test_p_value_to_be_"
+                   "greater_than"] == 0
+    assert by_type["expect_column_quantile_values_to_be_between"] == 0
+    assert by_type["expect_column_kl_divergence_to_be_less_than"] == 8
