@@ -310,3 +310,31 @@ def test_profile_pass_uses_sketch_quantiles_by_default(spark, clips_path):
     assert "percentile_approx" in default_plan
     assert re.search(r"(?<!_approx)percentile\(", exact_plan)
     assert "percentile_approx" not in exact_plan
+
+
+def test_unique_proportion_approx_plans_hll(spark, clips_path):
+    """approximate=True on proportion-of-unique must plan the HLL sketch
+    (mergeable, bounded memory), not the exact distinct aggregate whose
+    per-key hash state grows with cardinality; without the opt-in the
+    exact aggregate stays."""
+    from sparkcheck import ExpectationSuite
+    from sparkcheck.planner import compile_suite
+
+    d = spark.read.parquet(clips_path)
+
+    def agg_plan(**extra):
+        suite = ExpectationSuite("p").add(
+            "expect_column_proportion_of_unique_values_to_be_between",
+            column="clip_id", min_value=0.1, **extra)
+        plan = compile_suite(suite.expectations)
+        (domain,) = plan.domains.values()
+        exprs = [e.alias(f"c{i}") for i, e in
+                 enumerate(domain.slot_table.exprs.values())]
+        return d.agg(*exprs)._jdf.queryExecution().analyzed().toString()
+
+    exact = agg_plan()
+    approx = agg_plan(approximate=True)
+    assert "count(distinct" in exact.lower()
+    assert "approx_count_distinct" not in exact
+    assert "approx_count_distinct" in approx
+    assert "count(distinct" not in approx.lower()
