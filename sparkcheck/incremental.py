@@ -57,7 +57,8 @@ NOT mergeable, reported in ``unsupported`` (run a full validation for these):
 exact-opt-in median/quantiles (see above), z-score
 (defined against the evolving global mean/std — old rows' verdicts change
 when data appends), increasing/decreasing windows (order spans snapshots),
-exact uniqueness / unique_proportion / exact unique_value_count,
+exact uniqueness / exact unique_proportion / exact unique_value_count
+(both of the latter merge with the approximate=True HLL opt-in),
 referential/audio without the frozen-reference opt-in, bootstrapped KS and
 auto-partition KL (raw-sample / batch-derived partitions).
 
