@@ -312,3 +312,20 @@ def test_non_row_local_items_emit_no_partition_verdicts(spark):
                    "greater_than"] == 0
     assert by_type["expect_column_quantile_values_to_be_between"] == 0
     assert by_type["expect_column_kl_divergence_to_be_less_than"] == 8
+
+    # categorical KL with a POSITIVE holdout and out-of-set mass: the
+    # out-of-set expected mass splits per distinct value (its own job), so
+    # partitions holding such mass get no verdict; clean partitions still do
+    cat = (spark.range(0, 800, numPartitions=4)
+           .select((F.col("id") % 4).cast("string").alias("bucket"),
+                   F.when(F.col("id") % 400 == 1, "z")  # only bucket 1
+                   .when(F.col("id") % 2 == 0, "a")
+                   .otherwise("b").alias("c")))
+    hsuite = ExpectationSuite("h").add(
+        "expect_column_kl_divergence_to_be_less_than", column="c",
+        threshold=5.0, tail_weight_holdout=0.1,
+        partition_object={"values": ["a", "b"], "weights": [0.5, 0.5]})
+    hres = validate(cat, hsuite, per_partition=True, partition_col="bucket")
+    assert hres.results[0].success
+    hpv = {v["partition_id"] for v in hres.meta["partition_verdicts"]}
+    assert hpv == {"0", "2", "3"}  # bucket 1 holds 'z': refused, not faked
